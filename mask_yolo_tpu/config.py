@@ -1,0 +1,192 @@
+"""Configuration system.
+
+Preserves the subclass-and-override surface of the reference Config class
+(/root/reference/myolo/config.py:15-257): hyperparameters are class attributes,
+users subclass `Config` and override what they need, and `display()` dumps the
+resolved values. On top of that surface we add derived-value validation and a
+`frozen_dict()` export used to build static (hashable) arguments for jitted
+functions — under XLA every shape-determining config value must be a Python
+constant at trace time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class Config:
+    """Base configuration. Subclass and override (reference: config.py:15-22).
+
+    All shape-determining values (GRID_H/W, N_BOX, NUM_CLASSES, IMAGE_SHAPE,
+    TRAIN_ROIS_PER_IMAGE, MASK_SHAPE, ...) are static: they are baked into the
+    compiled XLA program. Changing them requires re-tracing, which happens
+    automatically because jitted entry points take the config as a static
+    argument keyed by these values.
+    """
+
+    # Naming / labels (reference: config.py:26, 44)
+    NAME = None
+    LABELS = ["background", "object"]
+
+    # Classes including background (reference: config.py:22)
+    NUM_CLASSES = 1 + 1
+
+    # YOLOv2 anchor priors in *grid units* (w0,h0,w1,h1,...)
+    # (reference: config.py:28)
+    ANCHORS = [1.27, 1.31, 1.95, 1.85, 2.40, 2.72, 3.20, 3.32, 5.06, 5.05]
+
+    # Grid geometry (reference: config.py:30-32)
+    N_BOX = 5
+    GRID_H, GRID_W = 7, 7
+    TRUE_BOX_BUFFER = 10
+
+    BATCH_SIZE = 1
+
+    # Loss scales (reference: config.py:34-38)
+    OBJECT_SCALE = 5.0
+    COORD_SCALE = 1.0
+    CLASS_SCALE = 1.0
+    NO_OBJECT_SCALE = 1.0
+    WARM_UP_BATCHES = 0
+    CLASS_WEIGHTS = None  # defaults to ones(NUM_CLASSES); resolved lazily
+
+    # Training schedule (reference: config.py:62-67)
+    STEPS_PER_EPOCH = 1000
+    VALIDATION_STEPS = 5
+
+    # Backbone (reference: config.py:74-92). "mobilenet" or "resnet50_fpn".
+    BACKBONE = "mobilenet"
+    BACKBONE_STRIDES = [8]
+    TOP_FEATURE_MAP_DEPTH = 256
+    SECOND_PHASE_YOLO_DEPTH = 512
+
+    # FPN settings (used when BACKBONE == "resnet50_fpn")
+    FPN_PYRAMID_SIZE = 256
+
+    # Mini-mask (reference: config.py:122-123)
+    USE_MINI_MASK = False
+    MINI_MASK_SHAPE = (56, 56)
+
+    # Input geometry (reference: config.py:145-156, 232)
+    IMAGE_RESIZE_MODE = "square"
+    IMAGE_MIN_DIM = 224
+    IMAGE_MAX_DIM = 224
+    IMAGE_MIN_SCALE = 0
+    IMAGE_CHANNEL_COUNT = 3
+    IMAGE_SHAPE = [224, 224, 3]
+
+    # ROI head geometry (reference: config.py:166-180)
+    TRAIN_ROIS_PER_IMAGE = GRID_H * GRID_W * N_BOX
+    POOL_SIZE = 7
+    MASK_POOL_SIZE = 14
+    MASK_SHAPE = [28, 28]
+    MAX_GT_INSTANCES = 10
+
+    # Optimization (reference: config.py:200-230)
+    LEARNING_RATE = 0.001
+    LEARNING_MOMENTUM = 0.9
+    WEIGHT_DECAY = 0.0001
+    LOSS_WEIGHTS = {"yolo_sum_loss": 1.0, "myolo_mask_loss": 1.0}
+    TRAIN_BN = False
+    GRADIENT_CLIP_NORM = 5.0
+
+    # Inference pipeline (new; the reference hardcodes these per call site:
+    # obj 0.35 in infer_yolo model.py:1230, 0.2 in detect model.py:1281,
+    # nms 0.3 both, NMB 0.7 model.py:1304)
+    OBJ_THRESHOLD = 0.35
+    NMS_THRESHOLD = 0.3
+    DETECTION_MAX_INSTANCES = 10  # top-K kept after NMS (ref: top10, model.py:1292)
+
+    # Compute precision: "bfloat16" activations with float32 params/outputs,
+    # or "float32" for bit-faithful parity testing.
+    COMPUTE_DTYPE = "float32"
+
+    # Parallelism (the reference has none — SURVEY.md §2.3). Axis sizes for the
+    # device mesh; DATA_PARALLEL=0 means "all available devices".
+    DATA_PARALLEL = 0
+    MODEL_PARALLEL = 1
+
+    def __init__(self):
+        self.validate()
+
+    # -- derived helpers ---------------------------------------------------
+
+    @property
+    def num_anchors(self) -> int:
+        return len(self.ANCHORS) // 2
+
+    @property
+    def anchors_wh(self) -> np.ndarray:
+        """[N_BOX, 2] anchor (w, h) priors in grid units."""
+        return np.asarray(self.ANCHORS, dtype=np.float32).reshape(-1, 2)
+
+    @property
+    def class_weights(self) -> np.ndarray:
+        if self.CLASS_WEIGHTS is None:
+            return np.ones(self.NUM_CLASSES, dtype=np.float32)
+        return np.asarray(self.CLASS_WEIGHTS, dtype=np.float32)
+
+    @property
+    def grid_boxes(self) -> int:
+        """Total predicted boxes per image (reference: 7*7*5 = 245)."""
+        return self.GRID_H * self.GRID_W * self.N_BOX
+
+    def validate(self):
+        h, w = self.IMAGE_SHAPE[:2]
+        if h % 32 != 0 or w % 32 != 0:
+            # reference enforces this at model build (model.py:791-794)
+            raise ValueError(
+                "Image size must be divisible by 32 (e.g. 224, 256, 288...)."
+            )
+        if self.num_anchors != self.N_BOX:
+            raise ValueError(
+                f"len(ANCHORS)//2 == {self.num_anchors} must equal N_BOX == {self.N_BOX}"
+            )
+        if len(self.LABELS) not in (0, self.NUM_CLASSES):
+            raise ValueError(
+                f"LABELS has {len(self.LABELS)} entries but NUM_CLASSES={self.NUM_CLASSES}"
+            )
+
+    def static_key(self) -> tuple:
+        """Hashable tuple of every shape/compile-relevant value. Used as the
+        static argument for jit caching."""
+        return (
+            self.NUM_CLASSES,
+            tuple(float(a) for a in self.ANCHORS),
+            self.N_BOX,
+            self.GRID_H,
+            self.GRID_W,
+            self.TRUE_BOX_BUFFER,
+            tuple(self.IMAGE_SHAPE),
+            self.TRAIN_ROIS_PER_IMAGE,
+            self.MASK_POOL_SIZE,
+            tuple(self.MASK_SHAPE),
+            self.MAX_GT_INSTANCES,
+            self.TOP_FEATURE_MAP_DEPTH,
+            self.SECOND_PHASE_YOLO_DEPTH,
+            self.BACKBONE,
+            self.COMPUTE_DTYPE,
+            float(self.OBJECT_SCALE),
+            float(self.NO_OBJECT_SCALE),
+            float(self.COORD_SCALE),
+            float(self.CLASS_SCALE),
+            int(self.WARM_UP_BATCHES),
+            float(self.OBJ_THRESHOLD),
+            float(self.NMS_THRESHOLD),
+            int(self.DETECTION_MAX_INSTANCES),
+        )
+
+    def display(self):
+        """Print all configuration values (reference: config.py:251-257)."""
+        print("\nConfigurations:")
+        for a in dir(self):
+            if not a.startswith("__") and not callable(getattr(self, a)):
+                print("{:30} {}".format(a, getattr(self, a)))
+        print("\n")
+
+    def to_dict(self) -> dict:
+        return {
+            a: getattr(self, a)
+            for a in dir(self)
+            if not a.startswith("__") and not callable(getattr(self, a))
+        }

@@ -1,0 +1,311 @@
+"""MaskYOLO — the user-facing orchestrator.
+
+API-parity rebuild of the reference MaskYOLO class
+(/root/reference/myolo/model.py:761-1391): same constructor signature
+(mode ∈ {'training', 'inference', 'yolo'}, config, model_dir,
+yolo_pretrain_dir, yolo_trainable) and same methods (build, train, compile,
+set_trainable, load_weights, infer_yolo, detect, decode_masks) — but instead
+of wiring a Keras graph it owns a flax module + parameter pytree and a set of
+jitted pipelines, and instead of host-side NumPy post-processing everything
+from decode to mask pasting runs on-chip (pipelines.py).
+
+Reference bugs deliberately fixed (SURVEY.md §7 "reference bugs"):
+ * detect() no longer reloads weights on every call (model.py:1265) — weights
+   load once; pass weights_dir=None after the first call;
+ * the hardcoded `nmb_indices = [109, 130]` debug override (model.py:1306) is
+   gone — real NMS output is used;
+ * train() loads the whole dataset instead of a hardcoded 50/6 preload
+   (model.py:995-1006);
+ * the warm-up counter is replica-safe (an explicit step argument).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import pipelines
+from .data.pipeline import BatchGenerator, preload_dataset
+from .models.network import MaskYoloNet
+from .parallel.mesh import build_mesh, replicate_tree
+from .train import state as state_lib
+from .train import trainer as trainer_lib
+
+
+class MaskYOLO:
+    """Build/train/infer orchestrator. See module docstring."""
+
+    def __init__(self, mode, config, model_dir=None, yolo_pretrain_dir=None,
+                 yolo_trainable=True, seed: int = 0):
+        assert mode in ["training", "inference", "yolo"]
+        self.mode = mode
+        self.config = config
+        self.model_dir = model_dir or "./checkpoints"
+        self.yolo_pretrain_dir = yolo_pretrain_dir
+        self.yolo_trainable = yolo_trainable
+        self.seed = seed
+        self.epoch = 0
+        self._mesh = None
+        self._tx = None
+        self._train_step = None
+        self._detect_fn = None
+        self._infer_yolo_fn = None
+        self.build(mode=mode, config=config)
+
+    # -- construction --------------------------------------------------------
+
+    def build(self, mode, config):
+        h, w = config.IMAGE_SHAPE[:2]
+        if w % 32 != 0 or h % 32 != 0:
+            raise Exception(
+                "Image size must be dividable by 32 to adapt with YOLO framework. "
+                "For example, use 224, 256, 288, 320, 356, ... etc. ")
+        if config.GRID_H != h // 32 or config.GRID_W != w // 32:
+            raise Exception(
+                f"GRID_{{H,W}}={config.GRID_H},{config.GRID_W} must equal "
+                f"IMAGE_SHAPE/32={h//32},{w//32}")
+
+        self.net = MaskYoloNet(
+            num_classes=config.NUM_CLASSES,
+            n_box=config.N_BOX,
+            top_feature_map_depth=config.TOP_FEATURE_MAP_DEPTH,
+            mask_pool_size=config.MASK_POOL_SIZE,
+            backbone=config.BACKBONE,
+            compute_dtype=config.COMPUTE_DTYPE,
+        )
+        rng = jax.random.PRNGKey(self.seed)
+        dummy_img = jnp.zeros((1, h, w, 3), jnp.float32)
+        dummy_rois = jnp.zeros((1, 8, 4), jnp.float32)
+        # jit the init: eager init dispatches hundreds of tiny ops (slow
+        # through the TPU tunnel); jitted it is one compiled program
+        variables = jax.jit(
+            lambda r, i, ro: self.net.init(r, i, ro, train=False)
+        )(rng, dummy_img, dummy_rois)
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+
+        if self.yolo_pretrain_dir is not None:
+            # load pretrained backbone+YOLO-branch weights and optionally
+            # freeze them (reference model.py:854-868)
+            self.load_weights(self.yolo_pretrain_dir, by_name=True)
+
+    @property
+    def variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+    @property
+    def mesh(self):
+        if self._mesh is None:
+            self._mesh = build_mesh(self.config)
+        return self._mesh
+
+    # -- training ------------------------------------------------------------
+
+    def compile(self, learning_rate, momentum=None, layer_regex: str = ".*"):
+        """Create the optimizer (Adam, reference model.py:1071-1075) and the
+        jitted train step. `momentum` is accepted for signature parity; Adam
+        ignores it exactly like the reference does."""
+        frozen = () if self.yolo_trainable else ("backbone", "yolo")
+        self._tx = state_lib.make_optimizer(
+            learning_rate, self.config, params=self.params,
+            layer_regex=layer_regex, frozen_prefixes=frozen)
+        self._train_step = trainer_lib.make_train_step(
+            self.net, self.config, self._tx,
+            mode="training" if self.mode == "training" else "yolo")
+
+    def set_trainable(self, layer_regex, **_):
+        """Record the trainable-layer regex; applied at compile()."""
+        self._layer_regex = layer_regex if isinstance(layer_regex, str) else ".*"
+
+    def train(self, train_dataset, val_dataset, learning_rate, epochs,
+              layers="all", augmentation=None, custom_callbacks=None,
+              no_augmentation_sources=None, verbose=True):
+        """Train. Same signature as the reference (model.py:943)."""
+        layer_regex = {"all": ".*"}.get(layers, layers)
+
+        train_data = preload_dataset(train_dataset, self.config,
+                                     augmentation=augmentation)
+        val_data = preload_dataset(val_dataset, self.config)
+        mode = "training" if self.mode == "training" else "yolo"
+        train_gen = BatchGenerator(train_data, self.config, mode=mode,
+                                   shuffle=True, seed=self.seed)
+        val_gen = BatchGenerator(val_data, self.config, mode=mode,
+                                 shuffle=False)
+
+        self.set_trainable(layer_regex)
+        self.compile(learning_rate, self.config.LEARNING_MOMENTUM,
+                     layer_regex=layer_regex)
+
+        mesh = self.mesh
+        state = state_lib.create_train_state(
+            replicate_tree(self.params, mesh),
+            replicate_tree(self.batch_stats, mesh),
+            self._tx)
+        eval_step = trainer_lib.make_eval_step(self.net, self.config, mode)
+
+        os.makedirs(self.model_dir, exist_ok=True)
+        for epoch in range(self.epoch, epochs):
+            if verbose:
+                print(f"Epoch {epoch + 1}/{epochs}")
+            state, metrics = trainer_lib.run_epoch(
+                self._train_step, state, train_gen, mesh=mesh, verbose=verbose)
+            train_gen.on_epoch_end()
+
+            # validation (reference: fit_generator validation_data)
+            val_metrics = []
+            from .parallel.mesh import shard_batch
+            for i in range(len(val_gen)):
+                val_metrics.append(eval_step(state, shard_batch(val_gen[i], mesh)))
+            val_loss = float(np.mean([float(m["loss"]) for m in val_metrics]))
+            if verbose:
+                print(f"  train: {metrics}  val_loss: {val_loss:.4f}")
+
+            ckpt_path = os.path.join(
+                self.model_dir,
+                "saved_model_" + datetime.datetime.now().strftime("%b%d-%H-%M"))
+            state_lib.save_checkpoint(ckpt_path, state, epoch=epoch + 1)
+            self.epoch = epoch + 1
+
+        self.params = jax.device_get(state.params)
+        self.batch_stats = jax.device_get(state.batch_stats)
+        return state
+
+    # -- checkpoint I/O --------------------------------------------------------
+
+    def save_weights(self, filepath):
+        import optax
+
+        dummy_tx = optax.identity()
+        st = state_lib.TrainState(params=self.params,
+                                  batch_stats=self.batch_stats,
+                                  opt_state=dummy_tx.init(self.params),
+                                  step=jnp.zeros((), jnp.int32))
+        state_lib.save_checkpoint(filepath, st, epoch=self.epoch)
+
+    def load_weights(self, filepath, by_name=False, exclude=None):
+        """Restore params (and batch stats) from an orbax checkpoint, with the
+        reference's by_name/exclude subtree semantics (model.py:1157-1196)."""
+        ckpt = state_lib.load_checkpoint(filepath)
+        self.params = state_lib.merge_params(self.params, ckpt["params"],
+                                             by_name=by_name, exclude=exclude)
+        if ckpt.get("batch_stats"):
+            self.batch_stats = state_lib.merge_params(
+                self.batch_stats, ckpt["batch_stats"],
+                by_name=by_name, exclude=exclude)
+
+    # -- inference -------------------------------------------------------------
+
+    def _ensure_infer_fns(self):
+        if self._detect_fn is None:
+            net, config = self.net, self.config
+
+            @jax.jit
+            def detect_fn(variables, images):
+                return pipelines.detect_outputs(net, variables, images, config)
+
+            @jax.jit
+            def infer_yolo_fn(variables, images):
+                return pipelines.infer_yolo_outputs(net, variables, images, config)
+
+            self._detect_fn = detect_fn
+            self._infer_yolo_fn = infer_yolo_fn
+
+    def infer_yolo(self, image, weights_dir=None, save_path="./img_results/",
+                   display=True):
+        """Detection-only inference on one uint8 image (reference
+        model.py:1198-1236). Returns a list of BoundBox-like dicts."""
+        assert list(image.shape) == list(self.config.IMAGE_SHAPE)
+        assert image.dtype == np.uint8
+        if weights_dir is not None:
+            self.load_weights(weights_dir)
+        self._ensure_infer_fns()
+
+        images = jnp.asarray(image[None].astype(np.float32) / 255.0)
+        out = jax.device_get(self._infer_yolo_fn(self.variables, images))
+        boxes = []
+        for i in np.where(out["valid"][0])[0]:
+            x1, y1, x2, y2 = out["boxes"][0, i]
+            boxes.append({
+                "xmin": float(x1), "ymin": float(y1),
+                "xmax": float(x2), "ymax": float(y2),
+                "score": float(out["scores"][0, i]),
+                "label": int(out["classes"][0, i]),
+            })
+        if display:
+            from .utils import visualize
+            os.makedirs(save_path, exist_ok=True)
+            now = datetime.datetime.now().strftime("%b-%d-%H-%M")
+            visualize.draw_boxes_mpl(
+                image, boxes, self.config.LABELS,
+                save_file=os.path.join(save_path, f"InferYOLO-{now}.png"))
+        return boxes
+
+    def detect(self, image, weights_dir=None, save_path="./img_results/",
+               cs_threshold=0.35, display=True):
+        """Full detection + mask pipeline on one uint8 image (reference
+        model.py:1238-1328). Returns [{bboxes, class_ids, confidence_scores,
+        full_masks}] with full_masks as [H, W, N]."""
+        assert list(image.shape) == list(self.config.IMAGE_SHAPE)
+        assert image.dtype == np.uint8
+        assert self.mode == "inference"
+        if weights_dir is not None:
+            self.load_weights(weights_dir)
+        self._ensure_infer_fns()
+
+        images = jnp.asarray(image[None].astype(np.float32) / 255.0)
+        out = jax.device_get(self._detect_fn(self.variables, images))
+
+        keep = out["valid"][0] & (out["scores"][0] >= cs_threshold)
+        idx = np.where(keep)[0]
+        boxes = out["boxes"][0][idx]
+        class_ids = out["classes"][0][idx]
+        scores = out["scores"][0][idx]
+        full_masks = np.transpose(out["masks"][0][idx], (1, 2, 0))  # [H, W, N]
+
+        results = [{
+            "bboxes": boxes,
+            "class_ids": class_ids,
+            "confidence_scores": scores,
+            "full_masks": full_masks,
+        }]
+        if display:
+            from .utils import visualize
+            os.makedirs(save_path, exist_ok=True)
+            now = datetime.datetime.now().strftime("%b-%d-%H-%M")
+            name = self.config.NAME or "MaskYOLO"
+            visualize.display_instances(
+                image, boxes, full_masks, class_ids, self.config.LABELS, scores,
+                save_path=os.path.join(save_path, f"InferMaskYOLO-{name}-{now}.png"))
+        return results
+
+    def detect_batch(self, images_float, weights_dir=None):
+        """Batched on-chip detection: [B, H, W, 3] float in [0, 1] →
+        fixed-shape dict (see pipelines.detect_outputs). The throughput path."""
+        if weights_dir is not None:
+            self.load_weights(weights_dir)
+        self._ensure_infer_fns()
+        return self._detect_fn(self.variables, images_float)
+
+    def decode_masks(self, detections, myolo_mask, image_shape):
+        """Host-side reformatting kept for API parity (model.py:1330-1391).
+        detections: [1, N, 6]; myolo_mask: [1, N, mh, mw, C]."""
+        det = np.asarray(detections[0])
+        masks = np.asarray(myolo_mask[0])
+        n = det.shape[0]
+        boxes = det[:, :4]
+        scores = det[:, 4]
+        class_ids = det[:, 5].astype(np.int32)
+        sel = masks[np.arange(n), :, :, class_ids]
+        area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        keep = area > 0
+        boxes, class_ids, scores, sel = (boxes[keep], class_ids[keep],
+                                         scores[keep], sel[keep])
+        from .utils.host_ops import unmold_mask
+        full = [unmold_mask(m, b, image_shape) for m, b in zip(sel, boxes)]
+        full = (np.stack(full, axis=-1) if full
+                else np.empty(tuple(image_shape[:2]) + (0,)))
+        return boxes, class_ids, scores, full

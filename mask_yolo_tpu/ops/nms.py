@@ -1,0 +1,108 @@
+"""On-device non-max suppression, fixed shape, jittable.
+
+The reference performs all suppression on the host in pure Python:
+`decode_one_yolo_output` (/root/reference/myolo/myolo_utils.py:36-85) runs a
+per-class greedy NMS over BoundBox objects, and `NMB`
+(myolo_utils.py:88-113) runs a second class-aware pass in `detect()`
+(model.py:1304). Both are O(N²) loops over at most 245 boxes — trivially
+small — so the TPU-native version computes the full IoU matrix once and runs
+a fixed-trip `lax.fori_loop` over the score-sorted order. Everything stays
+on-chip and static-shape; "dropped" boxes are expressed by zeroed scores, not
+by shrinking arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import box_iou_matrix
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def greedy_nms_mask(boxes, scores, iou_threshold: float):
+    """Greedy score-ordered NMS. Returns a bool keep-mask aligned to input.
+
+    boxes: [N, 4] (x1, y1, x2, y2); scores: [N] (0 = inactive, never kept
+    as a suppressor). Matches the reference's per-class loop semantics
+    (myolo_utils.py:67-80): iterate in descending score order; a surviving
+    box suppresses every later box with IoU >= threshold.
+    """
+    n = boxes.shape[0]
+    order = jnp.argsort(-scores)
+    boxes_s = boxes[order]
+    scores_s = scores[order]
+    iou = box_iou_matrix(boxes_s, boxes_s)
+    later = jnp.arange(n)[None, :] > jnp.arange(n)[:, None]  # j strictly after i
+
+    def body(i, keep):
+        active = keep[i] & (scores_s[i] > 0.0)
+        suppress = active & later[i] & (iou[i] >= iou_threshold)
+        return keep & ~suppress
+
+    keep_s = jax.lax.fori_loop(0, n, body, jnp.ones(n, dtype=bool))
+    # unsort
+    keep = jnp.zeros(n, dtype=bool).at[order].set(keep_s)
+    return keep
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def class_aware_nms(boxes, class_scores, iou_threshold: float):
+    """Per-class greedy NMS: zero the class score of suppressed boxes.
+
+    boxes: [N, 4]; class_scores: [N, C]. Returns class_scores with
+    suppressed entries zeroed — the exact effect of the reference's
+    `boxes[index_j].classes[c] = 0` (myolo_utils.py:80). vmapped over C.
+    """
+    keep = jax.vmap(lambda s: greedy_nms_mask(boxes, s, iou_threshold),
+                    in_axes=1, out_axes=1)(class_scores)
+    return class_scores * keep.astype(class_scores.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def reference_softmax(x, axis=-1, t=-100.0):
+    """The reference's _softmax (myolo_utils.py:25-33): global max-shift and
+    a rescale when the minimum is extremely negative. Reproduced exactly for
+    output parity."""
+    x = x - jnp.max(x)
+    xmin = jnp.min(x)
+    x = jnp.where(xmin < t, x / xmin * t, x)
+    e = jnp.exp(x)
+    return e / jnp.sum(e, axis=axis, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def index_order_class_nms_mask(boxes, class_ids, valid, iou_threshold: float):
+    """The reference's second-stage `NMB` (myolo_utils.py:88-113): iterate in
+    *index* order (not score order); box i suppresses every later box j with
+    the same class id and IoU >= threshold. Returns a keep mask.
+
+    boxes: [N, 4] normalized; class_ids: [N] int; valid: [N] bool.
+    """
+    n = boxes.shape[0]
+    iou = box_iou_matrix(boxes, boxes)
+    later = jnp.arange(n)[None, :] > jnp.arange(n)[:, None]
+    same_class = class_ids[:, None] == class_ids[None, :]
+
+    def body(i, keep):
+        active = keep[i] & valid[i]
+        suppress = active & later[i] & same_class[i] & (iou[i] >= iou_threshold) & valid
+        return keep & ~suppress
+
+    return jax.lax.fori_loop(0, n, body, valid)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def top_k_detections(boxes, scores, class_ids, k: int, score_threshold: float):
+    """Select top-k detections by score with a validity mask.
+
+    Returns (boxes [k,4], scores [k], class_ids [k], valid [k]) — the
+    fixed-shape equivalent of the reference's host-side top-10 + threshold
+    filter (model.py:1292-1297).
+    """
+    k = min(k, scores.shape[0])
+    top_scores, idx = jax.lax.top_k(scores, k)
+    valid = top_scores > score_threshold
+    return boxes[idx], top_scores, class_ids[idx], valid

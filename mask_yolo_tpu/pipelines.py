@@ -1,0 +1,239 @@
+"""End-to-end jitted pipelines: training forward, detection-only inference,
+and the fully on-chip image→boxes+masks pass.
+
+This is the component the reference spreads across MaskYOLO.build's three
+modes plus host-side NumPy post-processing (/root/reference/myolo/model.py:
+787-941, 1198-1391; myolo_utils.py:21-113, 883-912). Here each mode is a pure
+function of (variables, arrays) that jit compiles into a single XLA program —
+the device↔host boundary the reference crosses at model.py:1269 does not
+exist: decode, NMS, top-K, mask selection and mask pasting all run on-chip.
+
+Key performance decision (documented equivalence): the reference's inference
+graph runs the mask branch on all 245 decoded boxes and selects afterwards
+(model.py:926-931, 1292-1310). The mask branch is per-ROI independent, so
+masking only the K = DETECTION_MAX_INSTANCES boxes that survive score top-K
+gives bit-identical surviving masks at ~245/K× less mask-branch compute.
+NMS runs *after* the top-K gather but before mask pasting, so suppressed
+boxes simply carry valid=False, exactly like the reference's index filter.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .losses import mask_loss as mask_loss_fn
+from .losses import yolo_loss as yolo_loss_fn
+from .ops.boxes import decode_detections, decode_yolo_proposals, norm_boxes
+from .ops.nms import (class_aware_nms, index_order_class_nms_mask,
+                      reference_softmax)
+from .ops.roi_align import paste_masks
+from .ops.target_assign import assign_mask_targets
+
+
+# ---------------------------------------------------------------------------
+# Training forward
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit,
+                   static_argnums=(0, 3),
+                   static_argnames=("train", "mutable_stats"))
+def training_loss(net, variables, batch, config, seen, train: bool = True,
+                  mutable_stats: bool = False):
+    """Full 'training'-mode forward + combined loss (reference mode='training'
+    graph, model.py:872-901).
+
+    batch dict:
+      image:        [B, H, W, 3] float in [0, 1]
+      yolo_target:  [B, gh, gw, nb, 5+C]
+      true_boxes:   [B, 1, 1, 1, T, 4] grid units
+      gt_class_ids: [B, G] int32, zero-padded
+      gt_boxes:     [B, G, 4] float32 pixel xyxy, zero-padded
+      gt_masks:     [B, H, W, G] bool
+
+    Returns ((loss, (metrics, new_model_state))) suitable for value_and_grad
+    with has_aux=True.
+    """
+    bn_train = train and config.TRAIN_BN
+    # BN in batch-stats mode always writes the batch_stats collection, so it
+    # must be mutable whenever bn_train is set; updates are simply discarded
+    # unless the caller asked for them (mutable_stats)
+    mutable = ["batch_stats"] if bn_train else False
+
+    def apply(method, *args):
+        out = net.apply(variables, *args, train=bn_train, method=method,
+                        mutable=mutable)
+        return out if mutable else (out, {})
+
+    (grid, fmap), updates = apply(net.trunk, batch["image"])
+
+    h, w = config.IMAGE_SHAPE[:2]
+    # decode proposals in normalized coords (DecodeYOLOLayer, model.py:874)
+    proposals = decode_yolo_proposals(grid, config.anchors_wh,
+                                      config.GRID_H, config.GRID_W)
+    proposals = jax.lax.stop_gradient(proposals)
+
+    # GT boxes px → normalized (model.py:819-820)
+    gt_boxes_norm = norm_boxes(batch["gt_boxes"], (w, h))
+
+    rois, target_class_ids, target_masks = assign_mask_targets(
+        proposals, batch["gt_class_ids"], gt_boxes_norm,
+        batch["gt_masks"].astype(jnp.float32), tuple(config.MASK_SHAPE))
+
+    (pred_masks,), updates2 = _apply_mask(net, variables, rois, fmap, bn_train,
+                                          mutable)
+    if updates2:
+        updates = updates2  # same collection; later write wins
+
+    y_loss, y_metrics = yolo_loss_fn(batch["yolo_target"], grid,
+                                     batch["true_boxes"], config, seen)
+    m_loss = mask_loss_fn(target_masks, target_class_ids, pred_masks)
+
+    lw = config.LOSS_WEIGHTS
+    total = (y_loss * lw.get("yolo_sum_loss", 1.0)
+             + m_loss * lw.get("myolo_mask_loss", 1.0))
+
+    metrics = dict(y_metrics)
+    metrics["myolo_mask_loss"] = m_loss
+    metrics["loss"] = total
+    if not mutable_stats:
+        updates = {}
+    return total, (metrics, updates)
+
+
+def _apply_mask(net, variables, rois, fmap, bn_train, mutable):
+    out = net.apply(variables, rois, fmap, train=bn_train,
+                    method=net.mask_branch, mutable=mutable)
+    if mutable:
+        masks, updates = out
+        return (masks,), updates
+    return (out,), {}
+
+
+@functools.partial(jax.jit,
+                   static_argnums=(0, 3),
+                   static_argnames=("train", "mutable_stats"))
+def yolo_only_loss(net, variables, batch, config, seen, train: bool = True,
+                   mutable_stats: bool = False):
+    """mode='yolo' forward: backbone + YOLO head + YOLO loss only
+    (reference model.py:906-920)."""
+    bn_train = train and config.TRAIN_BN
+    mutable = ["batch_stats"] if bn_train else False
+    out = net.apply(variables, batch["image"], train=bn_train,
+                    method=net.trunk, mutable=mutable)
+    if mutable:
+        (grid, _fmap), updates = out
+    else:
+        (grid, _fmap), updates = out, {}
+    loss, metrics = yolo_loss_fn(batch["yolo_target"], grid,
+                                 batch["true_boxes"], config, seen)
+    metrics = dict(metrics)
+    metrics["loss"] = loss
+    if not mutable_stats:
+        updates = {}
+    return loss, (metrics, updates)
+
+
+# ---------------------------------------------------------------------------
+# Inference
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def infer_yolo_outputs(net, variables, images, config):
+    """Detection-only inference, fully on-chip: the device-side equivalent of
+    MaskYOLO.infer_yolo + decode_one_yolo_output (model.py:1198-1236;
+    myolo_utils.py:36-85).
+
+    images: [B, H, W, 3] float in [0, 1].
+    Returns dict with fixed-shape results per image:
+      boxes  [B, N, 4] normalized xyxy
+      scores [B, N]    winning class score after per-class NMS
+      classes[B, N]    int32 winning class
+      valid  [B, N]    bool (score > OBJ_THRESHOLD)
+    """
+    grid, _ = net.apply(variables, images, train=False, method=net.trunk)
+    boxes = decode_yolo_proposals(grid, config.anchors_wh,
+                                  config.GRID_H, config.GRID_W)
+    b = grid.shape[0]
+    conf = jax.nn.sigmoid(grid[..., 4])
+
+    def per_image(g, bx, cf):
+        # conf-weighted class probabilities, thresholded
+        # (myolo_utils.py:42-44, incl. the reference's quirky softmax)
+        probs = cf[..., None] * reference_softmax(g[..., 5:])
+        probs = probs * (probs > config.OBJ_THRESHOLD)
+        probs = probs.reshape(-1, config.NUM_CLASSES)
+        probs = class_aware_nms(bx, probs, config.NMS_THRESHOLD)
+        score = jnp.max(probs, axis=-1)
+        label = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        return score, label
+
+    scores, classes = jax.vmap(per_image)(grid, boxes, conf)
+    valid = scores > config.OBJ_THRESHOLD
+    return {"boxes": boxes, "scores": scores, "classes": classes, "valid": valid}
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def detect_outputs(net, variables, images, config, score_threshold=None):
+    """Full image → boxes + instance masks, one XLA program.
+
+    The on-chip rebuild of MaskYOLO.detect + decode_masks + unmold_mask
+    (model.py:1238-1391, myolo_utils.py:883-912), with the reference's
+    hardcoded `nmb_indices = [109, 130]` debug override (model.py:1306)
+    *fixed*: real NMS output is used (SURVEY.md §7 "reference bugs").
+
+    Returns per image (K = DETECTION_MAX_INSTANCES):
+      boxes   [B, K, 4] float32 pixel xyxy
+      classes [B, K] int32
+      scores  [B, K] float32
+      masks   [B, K, H, W] bool full-size instance masks
+      valid   [B, K] bool
+    """
+    if score_threshold is None:
+        score_threshold = config.OBJ_THRESHOLD
+    k = config.DETECTION_MAX_INSTANCES
+    h, w = config.IMAGE_SHAPE[:2]
+
+    grid, fmap = net.apply(variables, images, train=False, method=net.trunk)
+    det = decode_detections(grid, config.anchors_wh, config.GRID_H, config.GRID_W)
+    boxes, scores, classes = det[..., :4], det[..., 4], det[..., 5].astype(jnp.int32)
+
+    # zero-area filter (decode_masks, model.py:1373-1380) folded into validity
+    area_ok = ((boxes[..., 2] - boxes[..., 0]) * (boxes[..., 3] - boxes[..., 1])) > 0
+
+    # top-K by score (model.py:1292), masked scores for suppressed/zero-area
+    masked_scores = jnp.where(area_ok, scores, -1.0)
+    top_scores, idx = jax.lax.top_k(masked_scores, k)
+    top_boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+    top_classes = jnp.take_along_axis(classes, idx, axis=1)
+    valid = top_scores > score_threshold
+
+    # class-aware NMS in score order (NMB with the reference's 0.7 threshold,
+    # model.py:1304)
+    keep = jax.vmap(lambda bx, cl, va: index_order_class_nms_mask(bx, cl, va, 0.7))(
+        top_boxes, top_classes, valid)
+    valid = valid & keep
+
+    # mask branch on the K survivors only (equivalence note in module docstring)
+    pred_masks = net.apply(variables, top_boxes, fmap, train=False,
+                           method=net.mask_branch)  # [B, K, mh, mw, C]
+    onehot = jax.nn.one_hot(top_classes, config.NUM_CLASSES,
+                            dtype=pred_masks.dtype)
+    sel_masks = jnp.einsum("bkhwc,bkc->bkhw", pred_masks, onehot)
+
+    # paste into full-image canvas + threshold 0.5 (unmold_mask equivalent)
+    full = jax.vmap(lambda m, bx: paste_masks(m, bx, (h, w)))(sel_masks, top_boxes)
+    full_bool = (full >= 0.5) & valid[..., None, None]
+
+    boxes_px = top_boxes * jnp.asarray([w, h, w, h], dtype=jnp.float32)
+    return {
+        "boxes": boxes_px,
+        "classes": top_classes,
+        "scores": top_scores,
+        "masks": full_bool,
+        "valid": valid,
+    }

@@ -1,0 +1,156 @@
+"""Training state, optimizer construction, layer freezing, checkpointing.
+
+Replaces the reference's Keras compile/fit machinery
+(/root/reference/myolo/model.py:1062-1118 compile, 1120-1155 set_trainable,
+1157-1196 load_weights, ModelCheckpoint at 1026):
+
+ * optimizer — Adam(lr, 0.9, 0.999, eps=1e-8) exactly as the reference
+   (model.py:1071-1075), with global-norm clipping from
+   config.GRADIENT_CLIP_NORM (the reference defines it at config.py:230 but
+   only wires it to the commented-out SGD; we honor it);
+ * set_trainable by layer-name regex — reimplemented as an
+   optax.multi_transform whose labels are computed by regex-matching the
+   slash-joined parameter path, so "all", "yolo.*", "mask.*" etc. work on the
+   param pytree;
+ * checkpointing — orbax; a checkpoint is {params, batch_stats, opt_state,
+   step, epoch}, and `load_weights(..., by_name=True, exclude=[...])`
+   restores named subtrees only, mirroring the reference's h5 by_name
+   loading.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import flax.struct
+import jax
+import optax
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: Any  # int32 scalar — also drives the loss warm-up counter ("seen")
+
+
+def path_name(path) -> str:
+    """Slash-joined name of a pytree path, e.g. 'backbone/block1/conv_dw/kernel'."""
+    parts = []
+    for p in path:
+        key = getattr(p, "key", None)
+        if key is None:
+            key = getattr(p, "name", str(p))
+        parts.append(str(key))
+    return "/".join(parts)
+
+
+def trainable_labels(params, layer_regex: str):
+    """Label each param 'train' or 'freeze' by regex on its path.
+
+    Matches the reference's set_trainable semantics (model.py:1120-1155):
+    a layer trains iff re.fullmatch(layer_regex, <name>) — here evaluated
+    against every prefix segment of the path as well as the whole path, so
+    Keras-style layer names ('conv1', 'block3', ...) keep working.
+    """
+    pattern = re.compile(layer_regex)
+
+    def label(path, _):
+        name = path_name(path)
+        segments = name.split("/")
+        candidates = [name] + segments
+        hit = any(pattern.fullmatch(c) for c in candidates)
+        return "train" if hit else "freeze"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_optimizer(learning_rate: float, config, params=None,
+                   layer_regex: str = ".*", frozen_prefixes: tuple = ()):
+    """Adam + clipping + optional freezing.
+
+    frozen_prefixes: top-level module names to freeze regardless of regex —
+    used for `yolo_trainable=False` (reference model.py:866-868 freezes the
+    whole pretrained YOLO branch).
+    """
+    clip = float(getattr(config, "GRADIENT_CLIP_NORM", 0) or 0)
+    chain = []
+    if clip > 0:
+        chain.append(optax.clip_by_global_norm(clip))
+    chain.append(optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8))
+    adam = optax.chain(*chain)
+
+    if layer_regex == ".*" and not frozen_prefixes:
+        return adam
+
+    assert params is not None
+    labels = trainable_labels(params, layer_regex)
+    if frozen_prefixes:
+        def refreeze(path, lbl):
+            top = str(getattr(path[0], "key", path[0]))
+            return "freeze" if top in frozen_prefixes else lbl
+        labels = jax.tree_util.tree_map_with_path(refreeze, labels)
+    return optax.multi_transform(
+        {"train": adam, "freeze": optax.set_to_zero()}, labels
+    )
+
+
+def create_train_state(params, batch_stats, tx) -> TrainState:
+    import jax.numpy as jnp
+
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (orbax)
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(path: str, state: TrainState, epoch: int = 0):
+    import orbax.checkpoint as ocp
+    import os
+
+    path = os.path.abspath(path)
+    ckpt = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "step": int(state.step),
+        "epoch": int(epoch),
+    }
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, ckpt, force=True)
+
+
+def load_checkpoint(path: str) -> dict:
+    import orbax.checkpoint as ocp
+    import os
+
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
+
+
+def merge_params(current, loaded, by_name: bool = False, exclude=None):
+    """Merge a loaded params tree into the current one.
+
+    by_name=False: full replacement (shapes must match).
+    by_name=True: replace only subtrees whose top-level (module) name exists
+    in both; `exclude` lists module names to skip — mirroring the reference's
+    h5 by_name/exclude loader (model.py:1157-1196).
+    """
+    exclude = set(exclude or [])
+    if not by_name and not exclude:
+        return loaded
+    merged = dict(current)
+    for name, sub in loaded.items():
+        if name in exclude:
+            continue
+        if name in merged or not by_name:
+            merged[name] = sub
+    return type(current)(merged) if not isinstance(current, dict) else merged

@@ -1,0 +1,110 @@
+"""Multi-device tests on the 8-way virtual CPU mesh: batch-sharded training
+steps compile + run, and produce the same numbers as single-device."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mask_yolo_tpu.parallel.mesh import (batch_sharding, build_mesh,
+                                         replicate_tree, shard_batch)
+
+
+def test_eight_virtual_devices():
+    assert jax.device_count() == 8
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(rng):
+    from conftest import TinyConfig
+
+    class MeshConfig(TinyConfig):
+        BATCH_SIZE = 8
+
+    cfg = MeshConfig()
+    from mask_yolo_tpu.models.network import MaskYoloNet
+
+    net = MaskYoloNet(num_classes=cfg.NUM_CLASSES, n_box=cfg.N_BOX,
+                      top_feature_map_depth=cfg.TOP_FEATURE_MAP_DEPTH,
+                      mask_pool_size=cfg.MASK_POOL_SIZE, backbone=cfg.BACKBONE)
+    img = jnp.zeros((8, *cfg.IMAGE_SHAPE), jnp.float32)
+    rois = jnp.zeros((8, cfg.TRAIN_ROIS_PER_IMAGE, 4), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), img, rois, train=False)
+
+    h, w, g = 64, 64, cfg.MAX_GT_INSTANCES
+    batch = {
+        "image": rng.rand(8, h, w, 3).astype(np.float32),
+        "yolo_target": np.zeros((8, 2, 2, 2, 8), np.float32),
+        "true_boxes": np.zeros((8, 1, 1, 1, cfg.TRUE_BOX_BUFFER, 4), np.float32),
+        "gt_class_ids": np.zeros((8, g), np.int32),
+        "gt_boxes": np.zeros((8, g, 4), np.float32),
+        "gt_masks": np.zeros((8, h, w, g), bool),
+    }
+    for b in range(8):
+        batch["yolo_target"][b, 1, 0, 0] = [0.5, 1.5, 0.8, 0.8, 1.0, 0.0, 1.0, 0.0]
+        batch["true_boxes"][b, 0, 0, 0, 0] = [0.5, 1.5, 0.8, 0.8]
+        batch["gt_class_ids"][b, 0] = 1
+        batch["gt_boxes"][b, 0] = [4, 36, 28, 60]
+        batch["gt_masks"][b, 40:56, 8:24, 0] = True
+    return cfg, net, variables, batch
+
+
+def test_dp_train_step_on_mesh(tiny_setup):
+    cfg, net, variables, batch = tiny_setup
+    from mask_yolo_tpu.train import state as state_lib
+    from mask_yolo_tpu.train import trainer as trainer_lib
+
+    mesh = build_mesh(cfg)
+    assert mesh.devices.shape == (8, 1)
+
+    tx = state_lib.make_optimizer(1e-3, cfg)
+    step = trainer_lib.make_train_step(net, cfg, tx, mode="training")
+
+    # the train step donates its state; give each state its own buffers so the
+    # shared fixture's params are not deleted through device_put aliasing
+    import jax.numpy as jnp2
+    fresh = lambda tree: jax.tree.map(jnp2.array, tree)
+
+    state = state_lib.create_train_state(
+        replicate_tree(fresh(variables["params"]), mesh),
+        replicate_tree(fresh(variables.get("batch_stats", {})), mesh), tx)
+    sharded = shard_batch(batch, mesh)
+    # batch really is split across 'data'
+    assert sharded["image"].sharding.spec == batch_sharding(mesh).spec
+
+    state, metrics = step(state, sharded)
+    assert np.isfinite(float(metrics["loss"]))
+
+    # gradient all-reduce correctness: mesh result == single-device result
+    state1 = state_lib.create_train_state(
+        fresh(variables["params"]), fresh(variables.get("batch_stats", {})), tx)
+    state1, metrics1 = step(state1, {k: jnp.asarray(v) for k, v in batch.items()})
+    np.testing.assert_allclose(float(metrics["loss"]), float(metrics1["loss"]),
+                               rtol=1e-4)
+    p_mesh = jax.device_get(jax.tree.leaves(state.params)[0])
+    p_one = jax.device_get(jax.tree.leaves(state1.params)[0])
+    # Adam normalizes gradients, so a sign flip of a ~0 gradient (sharded
+    # reduction order differs from the single-device order) moves a weight by
+    # exactly 2*lr; allow one Adam step of absolute tolerance
+    np.testing.assert_allclose(p_mesh, p_one, rtol=2e-3, atol=2.1e-3)
+
+
+def test_dp_inference_on_mesh(tiny_setup):
+    cfg, net, variables, batch = tiny_setup
+    from mask_yolo_tpu import pipelines
+
+    mesh = build_mesh(cfg)
+    images = jax.device_put(batch["image"], batch_sharding(mesh))
+    v = replicate_tree(variables, mesh)
+    out = jax.jit(lambda vv, im: pipelines.detect_outputs(net, vv, im, cfg))(v, images)
+    assert out["boxes"].shape == (8, cfg.DETECTION_MAX_INSTANCES, 4)
+
+
+def test_mesh_factorization():
+    class C:
+        DATA_PARALLEL = 4
+        MODEL_PARALLEL = 2
+
+    mesh = build_mesh(C())
+    assert mesh.devices.shape == (4, 2)
+    assert mesh.axis_names == ("data", "model")

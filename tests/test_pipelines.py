@@ -1,0 +1,116 @@
+"""End-to-end pipeline tests on the tiny config: on-chip yolo decode+NMS vs
+the host golden decoder, and full detect smoke."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mask_yolo_tpu import pipelines
+from mask_yolo_tpu.models.network import MaskYoloNet
+from mask_yolo_tpu.utils.host_ops import decode_one_yolo_output
+
+
+@pytest.fixture(scope="module")
+def tiny_net_and_vars():
+    from conftest import TinyConfig
+
+    cfg = TinyConfig()
+    net = MaskYoloNet(num_classes=cfg.NUM_CLASSES, n_box=cfg.N_BOX,
+                      top_feature_map_depth=cfg.TOP_FEATURE_MAP_DEPTH,
+                      mask_pool_size=cfg.MASK_POOL_SIZE, backbone=cfg.BACKBONE)
+    img = jnp.zeros((2, *cfg.IMAGE_SHAPE), jnp.float32)
+    rois = jnp.zeros((2, cfg.TRAIN_ROIS_PER_IMAGE, 4), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), img, rois, train=False)
+    return cfg, net, variables
+
+
+def test_infer_yolo_matches_host_decoder(tiny_net_and_vars, rng):
+    """The on-chip decode+per-class-NMS must agree with the host golden
+    (decode_one_yolo_output port) on surviving boxes and scores."""
+    cfg, net, variables = tiny_net_and_vars
+    images = jnp.asarray(rng.rand(2, *cfg.IMAGE_SHAPE).astype(np.float32))
+
+    out = jax.device_get(pipelines.infer_yolo_outputs(net, variables, images, cfg))
+
+    # host path: grid from the same trunk
+    grid, _ = net.apply(variables, images, train=False, method=net.trunk)
+    grid = np.asarray(grid)
+    for b in range(2):
+        host_boxes = decode_one_yolo_output(
+            grid[b].copy(), np.asarray(cfg.ANCHORS), cfg.NUM_CLASSES,
+            obj_threshold=cfg.OBJ_THRESHOLD, nms_threshold=cfg.NMS_THRESHOLD)
+        dev_idx = np.where(out["valid"][b])[0]
+        assert len(dev_idx) == len(host_boxes)
+        got = sorted(
+            (round(float(out["scores"][b, i]), 4),
+             int(out["classes"][b, i]),
+             round(float(out["boxes"][b, i, 0]), 4))
+            for i in dev_idx)
+        exp = sorted(
+            (round(bx["score"], 4), bx["label"], round(bx["xmin"], 4))
+            for bx in host_boxes)
+        assert got == exp
+
+
+def test_detect_outputs_shapes_and_validity(tiny_net_and_vars, rng):
+    cfg, net, variables = tiny_net_and_vars
+    images = jnp.asarray(rng.rand(2, *cfg.IMAGE_SHAPE).astype(np.float32))
+    out = jax.device_get(pipelines.detect_outputs(net, variables, images, cfg))
+    k = cfg.DETECTION_MAX_INSTANCES
+    h, w = cfg.IMAGE_SHAPE[:2]
+    assert out["boxes"].shape == (2, k, 4)
+    assert out["masks"].shape == (2, k, h, w)
+    assert out["masks"].dtype == bool
+    # invalid detections have empty masks
+    for b in range(2):
+        for i in range(k):
+            if not out["valid"][b, i]:
+                assert not out["masks"][b, i].any()
+    # scores sorted descending (top_k)
+    assert np.all(np.diff(out["scores"], axis=1) <= 1e-6)
+
+
+def test_detect_jits_once(tiny_net_and_vars, rng):
+    cfg, net, variables = tiny_net_and_vars
+    fn = jax.jit(lambda v, im: pipelines.detect_outputs(net, v, im, cfg))
+    images = jnp.asarray(rng.rand(2, *cfg.IMAGE_SHAPE).astype(np.float32))
+    out1 = fn(variables, images)
+    out2 = fn(variables, images)  # cached
+    np.testing.assert_allclose(np.asarray(out1["scores"]),
+                               np.asarray(out2["scores"]))
+
+
+def test_training_loss_finite_and_grads_flow(tiny_net_and_vars, rng):
+    cfg, net, variables = tiny_net_and_vars
+    b, g = 2, cfg.MAX_GT_INSTANCES
+    h, w = cfg.IMAGE_SHAPE[:2]
+    batch = {
+        "image": jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32)),
+        "yolo_target": jnp.zeros((b, cfg.GRID_H, cfg.GRID_W, cfg.N_BOX,
+                                  5 + cfg.NUM_CLASSES), jnp.float32),
+        "true_boxes": jnp.zeros((b, 1, 1, 1, cfg.TRUE_BOX_BUFFER, 4), jnp.float32),
+        "gt_class_ids": jnp.zeros((b, g), jnp.int32),
+        "gt_boxes": jnp.zeros((b, g, 4), jnp.float32),
+        "gt_masks": jnp.zeros((b, h, w, g), bool),
+    }
+    # add one GT instance so positives can exist
+    batch["yolo_target"] = batch["yolo_target"].at[0, 1, 1, 0].set(
+        jnp.asarray([1.5, 1.5, 1.0, 1.0, 1.0] + [0.0, 1.0, 0.0]))
+    batch["gt_class_ids"] = batch["gt_class_ids"].at[0, 0].set(1)
+    batch["gt_boxes"] = batch["gt_boxes"].at[0, 0].set(
+        jnp.asarray([16.0, 16.0, 48.0, 48.0]))
+    batch["gt_masks"] = batch["gt_masks"].at[0, 20:40, 20:40, 0].set(True)
+
+    def loss_fn(params):
+        v = {"params": params, "batch_stats": variables.get("batch_stats", {})}
+        loss, (metrics, _) = pipelines.training_loss(net, v, batch, cfg, seen=10.0)
+        return loss, metrics
+
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"])
+    assert np.isfinite(float(loss))
+    gnorm = jnp.sqrt(sum(jnp.sum(x ** 2) for x in jax.tree.leaves(grads)))
+    assert float(gnorm) > 0  # gradients flow
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k

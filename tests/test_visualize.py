@@ -1,0 +1,64 @@
+"""Visualization smoke tests (matplotlib Agg backend)."""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+
+from mask_yolo_tpu.utils import visualize
+
+
+def test_display_instances_smoke(tmp_path, rng):
+    image = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    boxes = np.array([[5, 5, 30, 30], [20, 20, 50, 55]], dtype=np.float32)
+    masks = np.zeros((64, 64, 2), dtype=bool)
+    masks[8:28, 8:28, 0] = True
+    masks[25:50, 25:45, 1] = True
+    out = tmp_path / "inst.png"
+    visualize.display_instances(image, boxes, masks, np.array([1, 2]),
+                                ["bg", "a", "b"], np.array([0.9, 0.8]),
+                                save_path=str(out))
+    assert out.exists() and out.stat().st_size > 0
+
+
+def test_draw_boxes_smoke(tmp_path, rng):
+    image = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    boxes = [{"xmin": 0.1, "ymin": 0.1, "xmax": 0.5, "ymax": 0.5,
+              "score": 0.7, "label": 1}]
+    out = tmp_path / "boxes.png"
+    visualize.draw_boxes_mpl(image, boxes, ["bg", "a"], save_file=str(out))
+    assert out.exists()
+
+
+def test_display_top_masks_smoke(tmp_path, rng):
+    image = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+    masks = rng.rand(32, 32, 3) > 0.5
+    out = tmp_path / "top.png"
+    visualize.display_top_masks(image, masks, np.array([1, 1, 2]),
+                                ["bg", "a", "b"], save_path=str(out))
+    assert out.exists()
+
+
+def test_plot_overlaps_and_pr(tmp_path, rng):
+    out1 = tmp_path / "pr.png"
+    visualize.plot_precision_recall(0.8, [1.0, 0.8, 0.6], [0.0, 0.5, 1.0],
+                                    save_path=str(out1))
+    out2 = tmp_path / "ov.png"
+    visualize.plot_overlaps(np.array([1, 2]), np.array([1]), np.array([0.9]),
+                            rng.rand(1, 2), ["bg", "a", "b"],
+                            save_path=str(out2))
+    assert out1.exists() and out2.exists()
+
+
+def test_display_weight_stats(capsys):
+    params = {"layer": {"kernel": np.ones((3, 3)), "bias": np.zeros(3)}}
+    rows = visualize.display_weight_stats(params)
+    assert len(rows) == 3  # header + 2 params
+    out = capsys.readouterr().out
+    assert "dead?" in out  # constant kernel flagged
+
+
+def test_random_colors_distinct():
+    colors = visualize.random_colors(5, seed=0)
+    assert len(set(colors)) == 5
