@@ -22,13 +22,11 @@ import numpy as np
 TARGET = 5000.0
 
 
-def bench_detect(batch_size: int = 256, warmup: int = 3, iters: int = 10):
-    from mask_yolo_tpu import pipelines
+def _setup():
     from mask_yolo_tpu.data.shapes import ShapesConfig
     from mask_yolo_tpu.models.network import MaskYoloNet
 
     class BenchConfig(ShapesConfig):
-        BATCH_SIZE = batch_size
         COMPUTE_DTYPE = "bfloat16"
 
     cfg = BenchConfig()
@@ -37,9 +35,15 @@ def bench_detect(batch_size: int = 256, warmup: int = 3, iters: int = 10):
                       mask_pool_size=cfg.MASK_POOL_SIZE, backbone=cfg.BACKBONE,
                       compute_dtype=cfg.COMPUTE_DTYPE)
     rng = jax.random.PRNGKey(0)
-    img = jnp.zeros((batch_size, *cfg.IMAGE_SHAPE), jnp.float32)
-    variables = net.init(rng, img, jnp.zeros((batch_size, 8, 4), jnp.float32),
-                         train=False)
+    img = jnp.zeros((1, *cfg.IMAGE_SHAPE), jnp.float32)
+    variables = jax.jit(lambda r, i, ro: net.init(r, i, ro, train=False))(
+        rng, img, jnp.zeros((1, 8, 4), jnp.float32))
+    return cfg, net, variables
+
+
+def bench_detect(cfg, net, variables, batch_size: int, warmup: int = 3,
+                 iters: int = 10):
+    from mask_yolo_tpu import pipelines
 
     fn = jax.jit(lambda v, im: pipelines.detect_outputs(net, v, im, cfg))
     images = jax.device_put(
@@ -60,11 +64,12 @@ def bench_detect(batch_size: int = 256, warmup: int = 3, iters: int = 10):
 
 
 def main():
+    cfg, net, variables = _setup()
     best = 0.0
     best_bs = 0
     for bs in (64, 128, 256, 512):
         try:
-            ips = bench_detect(bs)
+            ips = bench_detect(cfg, net, variables, bs)
         except Exception as e:  # OOM at large batch etc.
             print(f"# batch {bs} failed: {type(e).__name__}", flush=True)
             continue
