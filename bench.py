@@ -8,10 +8,22 @@ the attached TPU chip and prints ONE JSON line:
 
 Baseline: the reference publishes no numbers (BASELINE.md); the target set by
 BASELINE.json is ≥5,000 images/sec/chip, so vs_baseline = value / 5000.
+
+Methodology (validated against a known-FLOPs matmul on this runner): the TPU
+here sits behind an RPC tunnel where `block_until_ready` returns immediately
+and every host↔device round-trip costs ~30 ms, so naive wall-clock timing
+measures dispatch, not compute. Instead each timed unit is ONE jitted program
+that runs the detect pipeline N times under `lax.scan`, chained by a tiny
+data dependence (so XLA cannot CSE the iterations away), returning a scalar
+checksum whose fetch forces completion. Per-iteration time is the *delta*
+between an N2-iteration and an N1-iteration run, cancelling the fixed RPC
+overhead. The same harness measured 167 TFLOP/s bf16 on an 8k matmul chain
+(v5e peak ≈197), confirming the deltas are real device time.
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -41,37 +53,67 @@ def _setup():
     return cfg, net, variables
 
 
-def bench_detect(cfg, net, variables, batch_size: int, warmup: int = 3,
-                 iters: int = 10):
+def _checksum(out):
+    """Small scalar summarizing every output (forces full pipeline)."""
+    s = jnp.float32(0)
+    for v in jax.tree_util.tree_leaves(out):
+        s = s + jnp.sum(v.astype(jnp.float32)) * jnp.float32(1e-6)
+    return s
+
+
+def make_repeat_fn(net, cfg):
     from mask_yolo_tpu import pipelines
 
-    fn = jax.jit(lambda v, im: pipelines.detect_outputs(net, v, im, cfg))
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def repeat(variables, images, n):
+        def body(carry, _):
+            img, acc = carry
+            # nested jit is inlined into the enclosing trace
+            out = pipelines.detect_outputs(net, variables, img, cfg)
+            s = _checksum(out)
+            # data dependence: perturb input by an invisible epsilon so the
+            # scan body cannot be hoisted/CSE'd; value is numerically zero
+            img = img + s * jnp.float32(1e-30)
+            return (img, acc + s), None
+        (_, acc), _ = jax.lax.scan(body, (images, jnp.float32(0)), None,
+                                   length=n)
+        return acc
+
+    return repeat
+
+
+def bench_detect(repeat, variables, cfg, batch_size: int,
+                 n1: int = 2, n2: int = 12, reps: int = 3):
     images = jax.device_put(
         jnp.asarray(np.random.RandomState(0)
                     .rand(batch_size, *cfg.IMAGE_SHAPE).astype(np.float32)))
-
-    out = fn(variables, images)
-    jax.block_until_ready(out)
-    for _ in range(warmup):
-        jax.block_until_ready(fn(variables, images))
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(variables, images)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    return batch_size * iters / dt
+    float(repeat(variables, images, n1))  # compile + warm
+    float(repeat(variables, images, n2))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(repeat(variables, images, n1))
+        t1 = time.perf_counter()
+        float(repeat(variables, images, n2))
+        t2 = time.perf_counter()
+        dt = (t2 - t1) - (t1 - t0)
+        if dt > 0:
+            best = min(best, dt / (n2 - n1))
+    if not np.isfinite(best):
+        raise RuntimeError("timing deltas were non-positive")
+    return batch_size / best
 
 
 def main():
     cfg, net, variables = _setup()
+    repeat = make_repeat_fn(net, cfg)
     best = 0.0
     best_bs = 0
-    for bs in (64, 128, 256, 512):
+    for bs in (128, 256):
         try:
-            ips = bench_detect(cfg, net, variables, bs)
+            ips = bench_detect(repeat, variables, cfg, bs)
         except Exception as e:  # OOM at large batch etc.
-            print(f"# batch {bs} failed: {type(e).__name__}", flush=True)
+            print(f"# batch {bs} failed: {type(e).__name__}: {e}", flush=True)
             continue
         print(f"# batch {bs}: {ips:,.0f} img/s", flush=True)
         if ips > best:

@@ -10,8 +10,9 @@ pipeline (decode, NMS, top-K, ROIAlign, mask paste) runs on-chip.
 """
 
 from .config import Config
+from .evaluate import evaluate_dataset
 from .model import MaskYOLO
 
-__all__ = ["Config", "MaskYOLO"]
+__all__ = ["Config", "MaskYOLO", "evaluate_dataset"]
 
 __version__ = "0.1.0"

@@ -67,6 +67,9 @@ class Config:
     USE_MINI_MASK = False
     MINI_MASK_SHAPE = (56, 56)
 
+    # Mean pixel for mold_image (reference: config.py:159, myolo_utils.py:153)
+    MEAN_PIXEL = [123.7, 116.8, 103.9]
+
     # Input geometry (reference: config.py:145-156, 232)
     IMAGE_RESIZE_MODE = "square"
     IMAGE_MIN_DIM = 224
@@ -171,6 +174,8 @@ class Config:
             float(self.COORD_SCALE),
             float(self.CLASS_SCALE),
             int(self.WARM_UP_BATCHES),
+            bool(self.USE_MINI_MASK),
+            tuple(self.MINI_MASK_SHAPE),
             float(self.OBJ_THRESHOLD),
             float(self.NMS_THRESHOLD),
             int(self.DETECTION_MAX_INSTANCES),

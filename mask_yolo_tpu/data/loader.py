@@ -36,7 +36,7 @@ def extract_bboxes(mask: np.ndarray) -> np.ndarray:
 
 
 def load_image_gt(dataset, config, image_id, augment=False, augmentation=None,
-                  use_mini_mask=False):
+                  use_mini_mask=None):
     """Load one image + GT and resize to the network input shape.
 
     Returns (image [H,W,3] uint8, class_ids [N] int32, boxes [N,4] int32 xyxy
@@ -62,7 +62,59 @@ def load_image_gt(dataset, config, image_id, augment=False, augmentation=None,
     mask = mask[:, :, _idx]
     class_ids = class_ids[_idx]
     bbox = extract_bboxes(mask)
+    if use_mini_mask or (use_mini_mask is None and config.USE_MINI_MASK):
+        mask = minimize_mask(bbox, mask, tuple(config.MINI_MASK_SHAPE))
     return image, class_ids, bbox, mask
+
+
+def minimize_mask(bbox, mask, mini_shape) -> np.ndarray:
+    """Crop each instance mask to its box and resize to `mini_shape`
+    (reference myolo_utils.py:413-430). bbox is (x1, y1, x2, y2) with
+    exclusive x2/y2 as produced by extract_bboxes. Returns bool
+    [mh, mw, N]."""
+    mask = np.asarray(mask)
+    n = mask.shape[-1]
+    mini = np.zeros(tuple(mini_shape) + (n,), dtype=bool)
+    for i in range(n):
+        x1, y1, x2, y2 = (int(v) for v in bbox[i][:4])
+        m = mask[y1:y2, x1:x2, i].astype(np.float32)
+        if m.size == 0:
+            raise ValueError("Invalid bounding box with area of zero")
+        m = image_ops.resize_bilinear(m[..., None], mini_shape)[..., 0]
+        mini[:, :, i] = np.around(m).astype(bool)
+    return mini
+
+
+def expand_mask(bbox, mini_mask, image_shape) -> np.ndarray:
+    """Inverse of minimize_mask: resize each mini-mask back into its box on a
+    full-size canvas (the expand_masks() the reference's docstring promises at
+    myolo_utils.py:415 but never ships). Returns bool [H, W, N]."""
+    mini_mask = np.asarray(mini_mask)
+    n = mini_mask.shape[-1]
+    full = np.zeros(tuple(image_shape[:2]) + (n,), dtype=bool)
+    for i in range(n):
+        x1, y1, x2, y2 = (int(v) for v in bbox[i][:4])
+        h, w = y2 - y1, x2 - x1
+        if h <= 0 or w <= 0:
+            continue
+        m = image_ops.resize_bilinear(
+            mini_mask[:, :, i].astype(np.float32)[..., None], (h, w))[..., 0]
+        full[y1:y2, x1:x2, i] = np.around(m).astype(bool)
+    return full
+
+
+def mold_image(images, config) -> np.ndarray:
+    """RGB → float32 with the mean pixel subtracted (reference
+    myolo_utils.py:153-158)."""
+    return np.asarray(images).astype(np.float32) - np.asarray(
+        config.MEAN_PIXEL, dtype=np.float32)
+
+
+def unmold_image(normalized_images, config) -> np.ndarray:
+    """Inverse of mold_image: back to uint8 RGB."""
+    return np.around(
+        np.asarray(normalized_images)
+        + np.asarray(config.MEAN_PIXEL, dtype=np.float32)).astype(np.uint8)
 
 
 def pack_gt(class_ids, boxes, masks, config):
@@ -80,7 +132,8 @@ def pack_gt(class_ids, boxes, masks, config):
         n = g
     out_ids = np.zeros((g,), dtype=np.int32)
     out_boxes = np.zeros((g, 4), dtype=np.float32)
-    h, w = config.IMAGE_SHAPE[:2]
+    h, w = (config.MINI_MASK_SHAPE if config.USE_MINI_MASK
+            else config.IMAGE_SHAPE[:2])
     out_masks = np.zeros((h, w, g), dtype=bool)
     out_ids[:n] = class_ids
     out_boxes[:n] = boxes

@@ -1,0 +1,91 @@
+"""Quantitative evaluation harness: mAP over a Dataset.
+
+The reference has no quantitative evaluation at all — results are eyeballed
+PNG overlays (SURVEY.md §6, /root/reference/README.md:10-34). This module runs
+the batched on-chip detect pipeline over a dataset and scores it with the
+VOC/COCO-style metrics in utils/metrics.py, giving the box and mask AP numbers
+the reference never published.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .data.loader import load_image_gt
+from .utils import metrics
+
+
+def evaluate_dataset(model, dataset, config, image_ids=None, batch_size=8,
+                     iou_threshold=0.5, score_threshold=0.0, verbose=False):
+    """Run detection over `dataset` and compute detection + mask AP.
+
+    model: a MaskYOLO in 'inference' mode (uses detect_batch).
+    Returns dict with box_ap50, box_map (COCO 0.5:0.95), mask_ap50,
+    mean_recall50, per_image (list of per-image AP dicts).
+    """
+    if image_ids is None:
+        image_ids = list(dataset.image_ids)
+
+    h, w = config.IMAGE_SHAPE[:2]
+    per_image = []
+    agg = {"gt_boxes": [], "gt_ids": [], "pred_boxes": [], "pred_ids": [],
+           "pred_scores": []}
+    box_ap50s, mask_ap50s, box_maps, recalls = [], [], [], []
+
+    for start in range(0, len(image_ids), batch_size):
+        chunk = image_ids[start:start + batch_size]
+        images, gts = [], []
+        for image_id in chunk:
+            image, gt_ids, gt_boxes, gt_masks = load_image_gt(
+                dataset, config, image_id, use_mini_mask=False)
+            images.append(image.astype(np.float32) / 255.0)
+            gts.append((gt_ids, gt_boxes.astype(np.float64), gt_masks))
+        batch = np.stack(images)
+        # pad the trailing batch so the jitted program shape stays fixed
+        pad = 0
+        if batch.shape[0] < batch_size:
+            pad = batch_size - batch.shape[0]
+            batch = np.concatenate(
+                [batch, np.zeros((pad, h, w, 3), np.float32)])
+        out = {k: np.asarray(v) for k, v in
+               model.detect_batch(batch).items()}
+
+        for bi, (gt_ids, gt_boxes, gt_masks) in enumerate(gts):
+            keep = out["valid"][bi] & (out["scores"][bi] >= score_threshold)
+            idx = np.where(keep)[0]
+            pred_boxes = out["boxes"][bi][idx].astype(np.float64)
+            pred_ids = out["classes"][bi][idx]
+            pred_scores = out["scores"][bi][idx].astype(np.float64)
+            pred_masks = np.transpose(out["masks"][bi][idx], (1, 2, 0))
+
+            box_ap, _, _, _ = metrics.compute_ap(
+                gt_boxes, gt_ids, None, pred_boxes, pred_ids, pred_scores,
+                iou_threshold=iou_threshold)
+            box_map = metrics.compute_ap_range(
+                gt_boxes, gt_ids, None, pred_boxes, pred_ids, pred_scores)
+            mask_ap, _, _, _ = metrics.compute_ap(
+                gt_boxes, gt_ids, gt_masks, pred_boxes, pred_ids, pred_scores,
+                pred_masks, iou_threshold=iou_threshold)
+            recall, _ = metrics.compute_recall(pred_boxes, gt_boxes,
+                                               iou=iou_threshold)
+            per_image.append({"image_id": chunk[bi], "box_ap50": box_ap,
+                              "box_map": box_map, "mask_ap50": mask_ap,
+                              "recall50": recall,
+                              "n_gt": len(gt_ids), "n_pred": len(pred_ids)})
+            box_ap50s.append(box_ap)
+            box_maps.append(box_map)
+            mask_ap50s.append(mask_ap)
+            recalls.append(recall)
+            if verbose:
+                print(f"image {chunk[bi]}: box AP50 {box_ap:.3f} "
+                      f"mask AP50 {mask_ap:.3f} recall {recall:.3f}")
+
+    result = {
+        "box_ap50": float(np.mean(box_ap50s)) if box_ap50s else 0.0,
+        "box_map": float(np.mean(box_maps)) if box_maps else 0.0,
+        "mask_ap50": float(np.mean(mask_ap50s)) if mask_ap50s else 0.0,
+        "mean_recall50": float(np.mean(recalls)) if recalls else 0.0,
+        "n_images": len(per_image),
+        "per_image": per_image,
+    }
+    return result

@@ -37,16 +37,22 @@ from .boxes import box_iou_matrix
 from .roi_align import crop_and_resize_per_roi
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
+@functools.partial(jax.jit, static_argnums=(4, 5))
 def assign_mask_targets_single(proposals, gt_class_ids, gt_boxes, gt_masks,
-                               mask_shape):
+                               mask_shape, mini: bool = False):
     """Single-image assignment.
 
     proposals: [R, 4] normalized (x1, y1, x2, y2) decoded YOLO boxes.
     gt_class_ids: [G] int32, zero-padded.
     gt_boxes: [G, 4] normalized, zero-padded.
-    gt_masks: [H, W, G] bool/float.
+    gt_masks: [H, W, G] bool/float — full-size, or MINI_MASK_SHAPE-size
+      box-relative mini-masks when `mini` is set.
     Returns (rois [R,4], target_class_ids [R] int32, target_masks [R,mh,mw]).
+
+    `mini=True` implements the USE_MINI_MASK crop the reference left as a
+    commented-out TODO (model.py:562-578): the ROI is transformed from
+    normalized image space into the matched GT box's frame before cropping,
+    since mini-masks cover only the GT box extent.
     """
     r = proposals.shape[0]
     g = gt_boxes.shape[0]
@@ -71,20 +77,34 @@ def assign_mask_targets_single(proposals, gt_class_ids, gt_boxes, gt_masks,
 
     # crop GT mask to the proposal box, resize to the network mask size,
     # binarize (reference rounds at model.py:589)
-    cropped = crop_and_resize_per_roi(roi_masks, proposals, (mh, mw))
+    crop_boxes = proposals
+    if mini:
+        # ROI coords → matched-GT-box frame (mini-masks span the GT box)
+        roi_gt_box = onehot @ gt_boxes  # [R, 4]
+        gw = jnp.maximum(roi_gt_box[:, 2] - roi_gt_box[:, 0], 1e-8)
+        gh = jnp.maximum(roi_gt_box[:, 3] - roi_gt_box[:, 1], 1e-8)
+        crop_boxes = jnp.stack([
+            (proposals[:, 0] - roi_gt_box[:, 0]) / gw,
+            (proposals[:, 1] - roi_gt_box[:, 1]) / gh,
+            (proposals[:, 2] - roi_gt_box[:, 0]) / gw,
+            (proposals[:, 3] - roi_gt_box[:, 1]) / gh,
+        ], axis=1)
+    cropped = crop_and_resize_per_roi(roi_masks, crop_boxes, (mh, mw))
     target_masks = jnp.round(cropped) * positive[:, None, None].astype(cropped.dtype)
 
     return proposals, target_class, target_masks
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
-def assign_mask_targets(proposals, gt_class_ids, gt_boxes, gt_masks, mask_shape):
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def assign_mask_targets(proposals, gt_class_ids, gt_boxes, gt_masks, mask_shape,
+                        mini: bool = False):
     """Batched assignment (vmap over the batch axis — the TPU-native
     replacement for the reference's batch_slice Python loop, model.py:644).
 
     proposals: [B, R, 4]; gt_class_ids: [B, G]; gt_boxes: [B, G, 4]
-    normalized; gt_masks: [B, H, W, G].
+    normalized; gt_masks: [B, H, W, G] (or [B, mh, mw, G] mini-masks).
     """
     return jax.vmap(
-        lambda p, c, b, m: assign_mask_targets_single(p, c, b, m, mask_shape)
+        lambda p, c, b, m: assign_mask_targets_single(p, c, b, m, mask_shape,
+                                                      mini)
     )(proposals, gt_class_ids, gt_boxes, gt_masks)

@@ -81,7 +81,8 @@ def training_loss(net, variables, batch, config, seen, train: bool = True,
 
     rois, target_class_ids, target_masks = assign_mask_targets(
         proposals, batch["gt_class_ids"], gt_boxes_norm,
-        batch["gt_masks"].astype(jnp.float32), tuple(config.MASK_SHAPE))
+        batch["gt_masks"].astype(jnp.float32), tuple(config.MASK_SHAPE),
+        bool(config.USE_MINI_MASK))
 
     (pred_masks,), updates2 = _apply_mask(net, variables, rois, fmap, bn_train,
                                           mutable)

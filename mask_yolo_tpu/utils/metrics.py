@@ -1,0 +1,158 @@
+"""Detection/instance-segmentation evaluation metrics (host-side NumPy).
+
+The reference delegates these to the external matterport ``mrcnn.utils``
+package (`utils.compute_matches` used at /root/reference/myolo/visualize.py:187,
+`utils.non_max_suppression` at example/shapes/dataset_shapes.py:178) — SURVEY.md
+§1 notes the new framework must provide this surface itself. This module is a
+from-scratch implementation of the standard greedy VOC-style matching and AP
+computation; it is also the quantitative evaluation harness the reference never
+had (SURVEY.md §6: no published numbers).
+
+All functions take pixel-space ``(x1, y1, x2, y2)`` boxes like the rest of this
+framework (the matterport originals use ``(y1, x1, y2, x2)``; callers coming
+from that convention should swap columns first).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def compute_overlaps(boxes1: np.ndarray, boxes2: np.ndarray) -> np.ndarray:
+    """IoU matrix between two box sets: [N1, 4] x [N2, 4] -> [N1, N2].
+
+    Boxes are (x1, y1, x2, y2) in pixels.
+    """
+    boxes1 = np.asarray(boxes1, dtype=np.float64).reshape(-1, 4)
+    boxes2 = np.asarray(boxes2, dtype=np.float64).reshape(-1, 4)
+    area1 = (boxes1[:, 2] - boxes1[:, 0]) * (boxes1[:, 3] - boxes1[:, 1])
+    area2 = (boxes2[:, 2] - boxes2[:, 0]) * (boxes2[:, 3] - boxes2[:, 1])
+    ix1 = np.maximum(boxes1[:, None, 0], boxes2[None, :, 0])
+    iy1 = np.maximum(boxes1[:, None, 1], boxes2[None, :, 1])
+    ix2 = np.minimum(boxes1[:, None, 2], boxes2[None, :, 2])
+    iy2 = np.minimum(boxes1[:, None, 3], boxes2[None, :, 3])
+    inter = np.maximum(ix2 - ix1, 0) * np.maximum(iy2 - iy1, 0)
+    union = area1[:, None] + area2[None, :] - inter
+    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+
+
+def compute_overlaps_masks(masks1: np.ndarray, masks2: np.ndarray) -> np.ndarray:
+    """IoU matrix between two mask sets: [H, W, N1] x [H, W, N2] -> [N1, N2]."""
+    m1 = np.asarray(masks1).reshape(-1, masks1.shape[-1]).astype(np.float64)
+    m2 = np.asarray(masks2).reshape(-1, masks2.shape[-1]).astype(np.float64)
+    area1 = m1.sum(axis=0)
+    area2 = m2.sum(axis=0)
+    inter = m1.T @ m2
+    union = area1[:, None] + area2[None, :] - inter
+    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+
+
+def compute_matches(gt_boxes, gt_class_ids, gt_masks,
+                    pred_boxes, pred_class_ids, pred_scores, pred_masks=None,
+                    iou_threshold: float = 0.5, score_threshold: float = 0.0):
+    """Greedy score-ordered matching of predictions to ground truth.
+
+    Same surface as the ``mrcnn.utils.compute_matches`` the reference's
+    ``display_differences`` relies on (visualize.py:187), rebuilt from the
+    standard definition. If ``pred_masks``/``gt_masks`` are given, IoU is
+    computed on masks; otherwise on boxes.
+
+    Returns (gt_match, pred_match, overlaps):
+      gt_match:   [G] index of matching prediction, -1 if unmatched
+      pred_match: [P] index of matching GT, -1 if unmatched
+      overlaps:   [P, G] IoU matrix (score-sorted prediction order)
+    """
+    gt_boxes = np.asarray(gt_boxes, dtype=np.float64).reshape(-1, 4)
+    pred_boxes = np.asarray(pred_boxes, dtype=np.float64).reshape(-1, 4)
+    gt_class_ids = np.asarray(gt_class_ids).reshape(-1)
+    pred_class_ids = np.asarray(pred_class_ids).reshape(-1)
+    pred_scores = np.asarray(pred_scores, dtype=np.float64).reshape(-1)
+
+    keep = pred_scores >= score_threshold
+    pred_boxes, pred_class_ids, pred_scores = (
+        pred_boxes[keep], pred_class_ids[keep], pred_scores[keep])
+    if pred_masks is not None:
+        pred_masks = np.asarray(pred_masks)[..., keep]
+
+    order = np.argsort(-pred_scores, kind="stable")
+    pred_boxes, pred_class_ids, pred_scores = (
+        pred_boxes[order], pred_class_ids[order], pred_scores[order])
+    if pred_masks is not None:
+        pred_masks = pred_masks[..., order]
+
+    if pred_masks is not None and gt_masks is not None and gt_masks.shape[-1]:
+        overlaps = compute_overlaps_masks(pred_masks, gt_masks)
+    else:
+        overlaps = compute_overlaps(pred_boxes, gt_boxes)
+
+    n_pred, n_gt = overlaps.shape
+    gt_match = -np.ones(n_gt, dtype=np.int64)
+    pred_match = -np.ones(n_pred, dtype=np.int64)
+    for p in range(n_pred):
+        for g in np.argsort(-overlaps[p]):
+            if gt_match[g] >= 0:
+                continue
+            if overlaps[p, g] < iou_threshold:
+                break
+            if gt_class_ids[g] == pred_class_ids[p]:
+                gt_match[g] = p
+                pred_match[p] = g
+                break
+    return gt_match, pred_match, overlaps
+
+
+def compute_ap(gt_boxes, gt_class_ids, gt_masks,
+               pred_boxes, pred_class_ids, pred_scores, pred_masks=None,
+               iou_threshold: float = 0.5):
+    """Average Precision at one IoU threshold (VOC-style, all-point interp).
+
+    Returns (mAP, precisions, recalls, overlaps) with sentinel 0/1 endpoints
+    on the PR curve.
+    """
+    gt_match, pred_match, overlaps = compute_matches(
+        gt_boxes, gt_class_ids, gt_masks,
+        pred_boxes, pred_class_ids, pred_scores, pred_masks, iou_threshold)
+
+    n_pred = len(pred_match)
+    n_gt = max(len(gt_match), 1)
+    tp = np.cumsum(pred_match >= 0)
+    precisions = tp / (np.arange(n_pred) + 1) if n_pred else np.zeros(0)
+    recalls = tp / n_gt if n_pred else np.zeros(0)
+
+    precisions = np.concatenate([[0.0], precisions, [0.0]])
+    recalls = np.concatenate([[0.0], recalls, [1.0]])
+    # monotone-decreasing envelope
+    for i in range(len(precisions) - 2, -1, -1):
+        precisions[i] = max(precisions[i], precisions[i + 1])
+    idx = np.where(recalls[:-1] != recalls[1:])[0] + 1
+    ap = float(np.sum((recalls[idx] - recalls[idx - 1]) * precisions[idx]))
+    return ap, precisions, recalls, overlaps
+
+
+def compute_ap_range(gt_boxes, gt_class_ids, gt_masks,
+                     pred_boxes, pred_class_ids, pred_scores, pred_masks=None,
+                     iou_thresholds=None, verbose: bool = False):
+    """COCO-style mean AP over IoU thresholds 0.5:0.05:0.95."""
+    if iou_thresholds is None:
+        iou_thresholds = np.arange(0.5, 1.0, 0.05)
+    aps = []
+    for t in iou_thresholds:
+        ap, _, _, _ = compute_ap(gt_boxes, gt_class_ids, gt_masks,
+                                 pred_boxes, pred_class_ids, pred_scores,
+                                 pred_masks, iou_threshold=float(t))
+        if verbose:
+            print(f"AP@{t:.2f} = {ap:.3f}")
+        aps.append(ap)
+    return float(np.mean(aps)) if aps else 0.0
+
+
+def compute_recall(pred_boxes, gt_boxes, iou: float = 0.5):
+    """Fraction of GT boxes covered by any prediction at the IoU threshold.
+
+    Returns (recall, positive_pred_ids).
+    """
+    overlaps = compute_overlaps(pred_boxes, gt_boxes)
+    iou_max = overlaps.max(axis=0) if overlaps.size else np.zeros(0)
+    recall = float((iou_max >= iou).mean()) if iou_max.size else 0.0
+    positive_ids = np.where((overlaps >= iou).any(axis=1))[0]
+    return recall, positive_ids

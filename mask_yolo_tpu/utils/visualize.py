@@ -126,6 +126,120 @@ def draw_boxes_mpl(image, boxes, labels, save_file=None, show=False):
         plt.close(fig)
 
 
+def display_differences(image, gt_boxes, gt_class_ids, gt_masks,
+                        pred_boxes, pred_class_ids, pred_scores, pred_masks,
+                        class_names, title="", save_path=None,
+                        iou_threshold=0.5, score_threshold=0.5, show_mask=True,
+                        show_box=True):
+    """GT vs prediction overlay (reference visualize.py:179-214): GT drawn in
+    green, predictions colored by match quality (red caption shows score/IoU).
+    Boxes are pixel (x1, y1, x2, y2)."""
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import Rectangle
+
+    from .metrics import compute_matches
+
+    gt_match, pred_match, overlaps = compute_matches(
+        gt_boxes, gt_class_ids, gt_masks,
+        pred_boxes, pred_class_ids, pred_scores, pred_masks,
+        iou_threshold=iou_threshold, score_threshold=score_threshold)
+
+    fig, ax = plt.subplots(1, figsize=(8, 8))
+    h, w = image.shape[:2]
+    ax.set_ylim(h + 10, -10)
+    ax.set_xlim(-10, w + 10)
+    ax.axis("off")
+    ax.set_title(title or "Ground Truth (green) vs Predictions "
+                          "(red = unmatched)")
+
+    canvas = image.astype(np.uint8).copy()
+    green, red = (0.0, 1.0, 0.0), (1.0, 0.0, 0.0)
+    if show_mask and gt_masks is not None:
+        for i in range(gt_masks.shape[-1]):
+            canvas = apply_mask(canvas, gt_masks[:, :, i], green, alpha=0.25)
+    if show_mask and pred_masks is not None:
+        for i in range(pred_masks.shape[-1]):
+            m = pred_match[i] >= 0 if i < len(pred_match) else False
+            canvas = apply_mask(canvas, pred_masks[:, :, i],
+                                green if m else red, alpha=0.25)
+    ax.imshow(canvas)
+
+    if show_box:
+        for i, box in enumerate(np.asarray(gt_boxes).reshape(-1, 4)):
+            x1, y1, x2, y2 = box
+            ax.add_patch(Rectangle((x1, y1), x2 - x1, y2 - y1, linewidth=2,
+                                   edgecolor=green, facecolor="none",
+                                   linestyle="dotted"))
+            cid = int(np.asarray(gt_class_ids).reshape(-1)[i])
+            name = class_names[cid] if cid < len(class_names) else str(cid)
+            ax.text(x1, y1 - 3, name, color="g", size=10)
+        for i, box in enumerate(np.asarray(pred_boxes).reshape(-1, 4)):
+            x1, y1, x2, y2 = box
+            matched = i < len(pred_match) and pred_match[i] >= 0
+            color = green if matched else red
+            ax.add_patch(Rectangle((x1, y1), x2 - x1, y2 - y1, linewidth=2,
+                                   edgecolor=color, facecolor="none"))
+            cid = int(np.asarray(pred_class_ids).reshape(-1)[i])
+            score = float(np.asarray(pred_scores).reshape(-1)[i])
+            iou = float(overlaps[i, pred_match[i]]) if matched else 0.0
+            name = class_names[cid] if cid < len(class_names) else str(cid)
+            ax.text(x1, y2 + 10, f"{name} {score:.2f} / IoU {iou:.2f}",
+                    color=color, size=9)
+    if save_path:
+        plt.savefig(save_path, bbox_inches="tight")
+    plt.close(fig)
+    return gt_match, pred_match, overlaps
+
+
+def draw_rois(image, rois, refined_rois=None, mask=None, class_ids=None,
+              class_names=None, limit=10, save_path=None):
+    """Sampled-ROI overlay for debugging target assignment (reference
+    visualize.py:217-275). rois: [N, (x1, y1, x2, y2)] pixels; dotted boxes,
+    solid refined boxes when given."""
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import Rectangle
+
+    rois = np.asarray(rois).reshape(-1, 4)
+    n = len(rois)
+    ids = np.arange(n) if n <= limit else np.random.default_rng(0).choice(
+        n, limit, replace=False)
+
+    fig, ax = plt.subplots(1, figsize=(8, 8))
+    h, w = image.shape[:2]
+    ax.set_ylim(h + 20, -20)
+    ax.set_xlim(-20, w + 20)
+    ax.axis("off")
+    ax.set_title(f"Showing {len(ids)} of {n} ROIs")
+
+    canvas = image.astype(np.uint8).copy()
+    colors = random_colors(len(ids), seed=0)
+    for k, i in enumerate(ids):
+        if mask is not None and class_ids is not None and class_ids[i] > 0:
+            canvas = apply_mask(canvas, mask[:, :, i].astype(bool), colors[k])
+    ax.imshow(canvas)
+    for k, i in enumerate(ids):
+        color = colors[k]
+        x1, y1, x2, y2 = rois[i]
+        ax.add_patch(Rectangle((x1, y1), x2 - x1, y2 - y1, linewidth=2,
+                               edgecolor=color, facecolor="none",
+                               linestyle="dashed"))
+        if refined_rois is not None and class_ids is not None and class_ids[i] > 0:
+            rx1, ry1, rx2, ry2 = np.asarray(refined_rois).reshape(-1, 4)[i]
+            ax.add_patch(Rectangle((rx1, ry1), rx2 - rx1, ry2 - ry1,
+                                   linewidth=2, edgecolor=color,
+                                   facecolor="none"))
+            ax.plot([x1, rx1], [y1, ry1], color=color)
+        if class_ids is not None:
+            cid = int(class_ids[i])
+            name = (class_names[cid] if class_names is not None
+                    and cid < len(class_names) else str(cid))
+            ax.text(x1, y1 + 8, name if cid > 0 else "",
+                    color="w", size=11, backgroundcolor="none")
+    if save_path:
+        plt.savefig(save_path, bbox_inches="tight")
+    plt.close(fig)
+
+
 def display_top_masks(image, mask, class_ids, class_names, limit=4,
                       save_path=None):
     """Image + the `limit` largest class masks (reference visualize.py:291-311)."""

@@ -1,0 +1,136 @@
+"""Tests for the evaluation-metrics module (the mrcnn.utils surface the
+reference depends on externally — SURVEY.md §1) and the mini-mask utilities
+(reference myolo_utils.py:413-430; model.py:562-578 TODO, fixed here)."""
+
+import numpy as np
+import pytest
+
+from mask_yolo_tpu.utils import metrics
+from mask_yolo_tpu.data.loader import (expand_mask, extract_bboxes,
+                                       minimize_mask, mold_image,
+                                       unmold_image)
+
+
+def test_compute_overlaps_identity_and_disjoint():
+    boxes = np.array([[0, 0, 10, 10], [20, 20, 30, 30]], dtype=np.float64)
+    ov = metrics.compute_overlaps(boxes, boxes)
+    assert np.allclose(np.diag(ov), 1.0)
+    assert ov[0, 1] == 0.0
+
+
+def test_compute_overlaps_half():
+    a = np.array([[0, 0, 10, 10]], dtype=np.float64)
+    b = np.array([[0, 0, 10, 5]], dtype=np.float64)
+    assert np.isclose(metrics.compute_overlaps(a, b)[0, 0], 0.5)
+
+
+def test_compute_matches_greedy_by_score():
+    gt_boxes = np.array([[0, 0, 10, 10]], dtype=np.float64)
+    gt_ids = np.array([1])
+    # two preds on the same GT: higher score wins the match
+    pred_boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11]], dtype=np.float64)
+    pred_ids = np.array([1, 1])
+    pred_scores = np.array([0.4, 0.9])
+    gt_match, pred_match, _ = metrics.compute_matches(
+        gt_boxes, gt_ids, None, pred_boxes, pred_ids, pred_scores)
+    # score order: pred index 0 after sort is the 0.9 one (original idx 1)
+    assert pred_match[0] == 0 and pred_match[1] == -1
+    assert gt_match[0] == 0
+
+
+def test_compute_matches_class_must_agree():
+    gt_boxes = np.array([[0, 0, 10, 10]], dtype=np.float64)
+    gt_match, pred_match, _ = metrics.compute_matches(
+        gt_boxes, np.array([1]), None,
+        gt_boxes.copy(), np.array([2]), np.array([0.9]))
+    assert gt_match[0] == -1 and pred_match[0] == -1
+
+
+def test_compute_ap_perfect_and_empty():
+    gt_boxes = np.array([[0, 0, 10, 10], [20, 20, 30, 30]], dtype=np.float64)
+    gt_ids = np.array([1, 2])
+    ap, prec, rec, _ = metrics.compute_ap(
+        gt_boxes, gt_ids, None, gt_boxes.copy(), gt_ids.copy(),
+        np.array([0.9, 0.8]))
+    assert np.isclose(ap, 1.0)
+    ap0, _, _, _ = metrics.compute_ap(
+        gt_boxes, gt_ids, None, np.zeros((0, 4)), np.zeros(0), np.zeros(0))
+    assert ap0 == 0.0
+
+
+def test_compute_ap_half():
+    gt_boxes = np.array([[0, 0, 10, 10], [20, 20, 30, 30]], dtype=np.float64)
+    gt_ids = np.array([1, 1])
+    # one correct pred, one false positive far away
+    pred_boxes = np.array([[0, 0, 10, 10], [50, 50, 60, 60]], dtype=np.float64)
+    ap, _, _, _ = metrics.compute_ap(
+        gt_boxes, gt_ids, None, pred_boxes, np.array([1, 1]),
+        np.array([0.9, 0.8]))
+    assert np.isclose(ap, 0.5)
+
+
+def test_compute_ap_range_monotone():
+    gt_boxes = np.array([[0, 0, 10, 10]], dtype=np.float64)
+    # slightly-off box: matches at IoU 0.5 but not at 0.95
+    pred_boxes = np.array([[1, 1, 11, 11]], dtype=np.float64)
+    m = metrics.compute_ap_range(gt_boxes, np.array([1]), None,
+                                 pred_boxes, np.array([1]), np.array([0.9]))
+    assert 0.0 < m < 1.0
+
+
+def test_compute_recall():
+    gt = np.array([[0, 0, 10, 10], [20, 20, 30, 30]], dtype=np.float64)
+    pred = np.array([[0, 0, 10, 10]], dtype=np.float64)
+    recall, pos = metrics.compute_recall(pred, gt, iou=0.5)
+    assert np.isclose(recall, 0.5)
+    assert list(pos) == [0]
+
+
+def test_mask_overlaps_match_box_overlaps_for_solid_boxes():
+    h = w = 32
+    boxes = np.array([[2, 4, 12, 14], [8, 8, 20, 20]], dtype=np.float64)
+    masks = np.zeros((h, w, 2), bool)
+    for i, (x1, y1, x2, y2) in enumerate(boxes.astype(int)):
+        masks[y1:y2, x1:x2, i] = True
+    ov_box = metrics.compute_overlaps(boxes, boxes)
+    ov_mask = metrics.compute_overlaps_masks(masks, masks)
+    assert np.allclose(ov_box, ov_mask, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# mini-mask + mold_image
+# ---------------------------------------------------------------------------
+
+
+def _rect_mask(h, w, x1, y1, x2, y2):
+    m = np.zeros((h, w, 1), bool)
+    m[y1:y2, x1:x2, 0] = True
+    return m
+
+
+def test_minimize_expand_roundtrip_rect():
+    mask = _rect_mask(64, 64, 10, 20, 40, 50)
+    bbox = extract_bboxes(mask)
+    assert list(bbox[0]) == [10, 20, 40, 50]
+    mini = minimize_mask(bbox, mask, (28, 28))
+    assert mini.shape == (28, 28, 1)
+    assert mini[:, :, 0].mean() > 0.9  # a full rectangle fills its mini-mask
+    back = expand_mask(bbox, mini, (64, 64))
+    iou = (back & mask).sum() / (back | mask).sum()
+    assert iou > 0.9
+
+
+def test_minimize_mask_zero_area_raises():
+    mask = np.zeros((16, 16, 1), bool)
+    bbox = np.zeros((1, 4), np.int32)
+    with pytest.raises(ValueError):
+        minimize_mask(bbox, mask, (8, 8))
+
+
+def test_mold_unmold_image_roundtrip(tiny_config):
+    img = (np.random.default_rng(0).integers(0, 255, (8, 8, 3))
+           .astype(np.uint8))
+    molded = mold_image(img, tiny_config)
+    assert molded.dtype == np.float32
+    assert np.allclose(molded + tiny_config.MEAN_PIXEL, img, atol=1e-4)
+    assert np.array_equal(unmold_image(molded, tiny_config), img)

@@ -100,3 +100,57 @@ def test_batched_assignment(rng):
     for i, c in enumerate(cases):
         exp_tc, _ = numpy_assign(*c, (8, 8))
         np.testing.assert_array_equal(np.asarray(tc[i]), exp_tc)
+
+
+def test_mini_mask_assignment_matches_fullsize(rng):
+    """A GT whose mini-mask is exact (solid rectangle) must produce the same
+    target masks through the mini-mask path as through the full-size path."""
+    hw, r = 32, 6
+    # one solid rectangular GT instance
+    gt_boxes = np.array([[0.25, 0.25, 0.75, 0.75]], dtype=np.float32)
+    gt_ids = np.array([2], dtype=np.int32)
+    full = np.zeros((hw, hw, 1), np.float32)
+    full[8:24, 8:24, 0] = 1.0
+    # mini-mask of a solid rectangle is all-ones
+    mini = np.ones((16, 16, 1), np.float32)
+
+    proposals = np.array([
+        [0.25, 0.25, 0.75, 0.75],   # exact hit
+        [0.30, 0.30, 0.80, 0.80],   # overlapping positive
+        [0.0, 0.0, 0.10, 0.10],     # negative
+        [0.25, 0.25, 0.50, 0.75],   # half of the GT
+        [0.20, 0.20, 0.70, 0.70],
+        [0.40, 0.25, 0.75, 0.60],
+    ], dtype=np.float32)
+
+    _, tc_f, tm_f = assign_mask_targets_single(
+        jnp.asarray(proposals), jnp.asarray(gt_ids), jnp.asarray(gt_boxes),
+        jnp.asarray(full), (8, 8), False)
+    _, tc_m, tm_m = assign_mask_targets_single(
+        jnp.asarray(proposals), jnp.asarray(gt_ids), jnp.asarray(gt_boxes),
+        jnp.asarray(mini), (8, 8), True)
+
+    np.testing.assert_array_equal(np.asarray(tc_f), np.asarray(tc_m))
+    # interior of positives agrees (borders may differ by one bilinear sample)
+    agree = (np.asarray(tm_f) == np.asarray(tm_m)).mean()
+    assert agree > 0.9, agree
+
+
+def test_mini_mask_roi_outside_gt_box_crops_zero(rng):
+    """Samples falling outside the GT box (mini-mask frame) must read 0,
+    matching crop_and_resize extrapolation_value=0."""
+    gt_boxes = np.array([[0.4, 0.4, 0.6, 0.6]], dtype=np.float32)
+    gt_ids = np.array([1], dtype=np.int32)
+    mini = np.ones((8, 8, 1), np.float32)
+    # positive proposal much bigger than the GT box: IoU = 0.04/0.16 < 0.5 →
+    # use a proposal just big enough to stay positive but extend past the box
+    proposals = np.array([[0.38, 0.38, 0.62, 0.62]], dtype=np.float32)
+    _, tc, tm = assign_mask_targets_single(
+        jnp.asarray(proposals), jnp.asarray(gt_ids), jnp.asarray(gt_boxes),
+        jnp.asarray(mini), (12, 12), True)
+    tm = np.asarray(tm)[0]
+    assert np.asarray(tc)[0] == 1
+    # corners of the crop are outside the GT box → zero
+    assert tm[0, 0] == 0 and tm[-1, -1] == 0
+    # center is inside → one
+    assert tm[6, 6] == 1
