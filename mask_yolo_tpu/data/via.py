@@ -30,9 +30,18 @@ class ViaConfig(Config):
     NUM_CLASSES = 1 + 1
 
 
-# Back-compat aliases for users of the reference
-RiceConfig = ViaConfig
-FoodConfig = ViaConfig
+class RiceConfig(ViaConfig):
+    """Single-class rice config (reference rice_dataset.py:60-82)."""
+
+    NAME = "rice"
+    LABELS = ["background", "rice"]
+
+
+class FoodConfig(ViaConfig):
+    """Single-class food config (reference example/food/rice_dataset.py)."""
+
+    NAME = "food"
+    LABELS = ["background", "food"]
 
 
 class ViaDataset(Dataset):
@@ -115,9 +124,21 @@ class RiceDataset(ViaDataset):
     """Reference-compatible alias: load_rice(dataset_dir, subset)."""
 
     def __init__(self):
-        super().__init__(source="food", class_name="food")
+        super().__init__(source="rice", class_name="rice")
 
     def load_rice(self, dataset_dir, subset):
+        self.load_via(dataset_dir, subset)
+
+
+class FoodDataset(ViaDataset):
+    """Reference-compatible alias: load_food(dataset_dir, subset)
+    (the reference reuses a copy of rice_dataset.py for food,
+    example/food/rice_dataset.py)."""
+
+    def __init__(self):
+        super().__init__(source="food", class_name="food")
+
+    def load_food(self, dataset_dir, subset):
         self.load_via(dataset_dir, subset)
 
 

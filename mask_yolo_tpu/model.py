@@ -123,8 +123,15 @@ class MaskYOLO:
 
     def train(self, train_dataset, val_dataset, learning_rate, epochs,
               layers="all", augmentation=None, custom_callbacks=None,
-              no_augmentation_sources=None, verbose=True):
-        """Train. Same signature as the reference (model.py:943)."""
+              no_augmentation_sources=None, verbose=True, profile_dir=None):
+        """Train. Same signature as the reference (model.py:943).
+
+        custom_callbacks: list of callables invoked as
+        cb(epoch, train_metrics, val_loss, state) after each epoch — the
+        stand-in for Keras callbacks (reference model.py:1030-1034).
+        profile_dir: capture a jax.profiler trace of a few steps of the
+        first epoch into this directory.
+        """
         layer_regex = {"all": ".*"}.get(layers, layers)
 
         train_data = preload_dataset(train_dataset, self.config,
@@ -148,11 +155,13 @@ class MaskYOLO:
         eval_step = trainer_lib.make_eval_step(self.net, self.config, mode)
 
         os.makedirs(self.model_dir, exist_ok=True)
-        for epoch in range(self.epoch, epochs):
+        start_epoch = self.epoch
+        for epoch in range(start_epoch, epochs):
             if verbose:
                 print(f"Epoch {epoch + 1}/{epochs}")
             state, metrics = trainer_lib.run_epoch(
-                self._train_step, state, train_gen, mesh=mesh, verbose=verbose)
+                self._train_step, state, train_gen, mesh=mesh, verbose=verbose,
+                profile_dir=profile_dir if epoch == start_epoch else None)
             train_gen.on_epoch_end()
 
             # validation (reference: fit_generator validation_data)
@@ -169,6 +178,8 @@ class MaskYOLO:
                 "saved_model_" + datetime.datetime.now().strftime("%b%d-%H-%M"))
             state_lib.save_checkpoint(ckpt_path, state, epoch=epoch + 1)
             self.epoch = epoch + 1
+            for cb in custom_callbacks or ():
+                cb(epoch, metrics, val_loss, state)
 
         self.params = jax.device_get(state.params)
         self.batch_stats = jax.device_get(state.batch_stats)

@@ -61,13 +61,30 @@ def make_eval_step(net, config, mode: str = "training"):
 
 
 def run_epoch(train_step, state, generator, mesh=None, log_every: int = 10,
-              verbose: bool = True):
-    """One pass over the generator. Returns (state, last_metrics)."""
+              verbose: bool = True, profile_dir=None, profile_steps=(2, 5)):
+    """One pass over the generator. Returns (state, last_metrics).
+
+    profile_dir: if set, capture a jax.profiler trace (viewable in
+    TensorBoard/XProf) covering steps [profile_steps[0], profile_steps[1]) —
+    the observability hook the reference only approximates with a TensorBoard
+    graph callback (model.py:1024-1027; SURVEY.md §5 tracing row).
+    """
     from ..parallel.mesh import shard_batch
 
     metrics = {}
     t0 = time.perf_counter()
+    tracing = False
     for i in range(len(generator)):
+        if profile_dir is not None:
+            if i == profile_steps[0]:
+                jax.profiler.start_trace(profile_dir)
+                tracing = True
+            elif i == profile_steps[1] and tracing:
+                jax.tree.map(
+                    lambda x: x.block_until_ready(),
+                    metrics)
+                jax.profiler.stop_trace()
+                tracing = False
         batch = generator[i]
         if mesh is not None:
             batch = shard_batch(batch, mesh)
@@ -79,4 +96,6 @@ def run_epoch(train_step, state, generator, mesh=None, log_every: int = 10,
                   f"loss={m.get('loss', 0):.4f}  "
                   f"recall={m.get('recall', 0):.3f}  "
                   f"({dt / (i+1):.3f}s/step)")
+    if tracing:
+        jax.profiler.stop_trace()
     return state, {k: float(v) for k, v in metrics.items()}
