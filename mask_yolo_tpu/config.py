@@ -195,3 +195,29 @@ class Config:
             for a in dir(self)
             if not a.startswith("__") and not callable(getattr(self, a))
         }
+
+
+class CocoStyleConfig(Config):
+    """The BASELINE.md scale-out operating point: batched 80-class COCO-style
+    inference at 416² with on-device NMS + mask unmold, intended for pod-scale
+    batch sharding (BASELINE.json configs list).
+
+    416/32 = 13×13 grid; anchors are the standard YOLOv2-VOC/COCO priors in
+    grid units. LABELS left empty (= any 81-way label set)."""
+
+    NAME = "coco416"
+    LABELS = []
+    NUM_CLASSES = 1 + 80
+    IMAGE_SHAPE = [416, 416, 3]
+    IMAGE_MIN_DIM = 416
+    IMAGE_MAX_DIM = 416
+    GRID_H, GRID_W = 13, 13
+    N_BOX = 5
+    # YOLOv2 COCO anchor priors (grid units)
+    ANCHORS = [0.57273, 0.677385, 1.87446, 2.06253, 3.33843, 5.47434,
+               7.88282, 3.52778, 9.77052, 9.16828]
+    TRAIN_ROIS_PER_IMAGE = 13 * 13 * 5
+    MAX_GT_INSTANCES = 50
+    TRUE_BOX_BUFFER = 30
+    DETECTION_MAX_INSTANCES = 100
+    COMPUTE_DTYPE = "bfloat16"

@@ -36,13 +36,23 @@ def greedy_nms_mask(boxes, scores, iou_threshold: float):
     scores_s = scores[order]
     iou = box_iou_matrix(boxes_s, boxes_s)
     later = jnp.arange(n)[None, :] > jnp.arange(n)[:, None]  # j strictly after i
+    sup = later & (iou >= iou_threshold)
+    active0 = scores_s > 0.0
 
     def body(i, keep):
-        active = keep[i] & (scores_s[i] > 0.0)
-        suppress = active & later[i] & (iou[i] >= iou_threshold)
+        suppress = keep[i] & active0[i] & sup[i]
         return keep & ~suppress
 
-    keep_s = jax.lax.fori_loop(0, n, body, jnp.ones(n, dtype=bool))
+    if n <= 512:
+        # unrolled so the whole suppression chain fuses into one XLA program
+        # instead of n sequential fori_loop trips that each pay kernel-launch
+        # latency (the dependency chain is inherent — greedy NMS is
+        # order-sequential — but the per-step work is a tiny vector op)
+        keep_s = jnp.ones(n, dtype=bool)
+        for i in range(n):
+            keep_s = body(i, keep_s)
+    else:
+        keep_s = jax.lax.fori_loop(0, n, body, jnp.ones(n, dtype=bool))
     # unsort
     keep = jnp.zeros(n, dtype=bool).at[order].set(keep_s)
     return keep
@@ -91,6 +101,15 @@ def index_order_class_nms_mask(boxes, class_ids, valid, iou_threshold: float):
         suppress = active & later[i] & same_class[i] & (iou[i] >= iou_threshold) & valid
         return keep & ~suppress
 
+    if n <= 32:
+        # unrolled: n tiny vector steps fuse into one XLA kernel instead of a
+        # sequential fori_loop whose every trip pays kernel-launch latency
+        # (measured ~11 µs/img at n=10, batch 64 — the loop was ~28% of the
+        # whole detect pipeline)
+        keep = valid
+        for i in range(n):
+            keep = body(i, keep)
+        return keep
     return jax.lax.fori_loop(0, n, body, valid)
 
 

@@ -108,3 +108,42 @@ def test_mesh_factorization():
     mesh = build_mesh(C())
     assert mesh.devices.shape == (4, 2)
     assert mesh.axis_names == ("data", "model")
+
+
+def test_coco416_sharded_detect_on_mesh():
+    """The BASELINE scale-out operating point (80-class, 416², on-device NMS
+    + mask paste) compiles and runs batch-sharded over the 8-device mesh."""
+    import jax.numpy as jnp
+
+    from mask_yolo_tpu import pipelines
+    from mask_yolo_tpu.config import CocoStyleConfig
+    from mask_yolo_tpu.models.network import MaskYoloNet
+
+    class SmallCoco(CocoStyleConfig):
+        # keep the CPU test light: fewer kept detections, f32 (CPU has no bf16)
+        DETECTION_MAX_INSTANCES = 8
+        COMPUTE_DTYPE = "float32"
+
+    cfg = SmallCoco()
+    assert cfg.GRID_H == 13 and cfg.grid_boxes == 13 * 13 * 5
+
+    net = MaskYoloNet(num_classes=cfg.NUM_CLASSES, n_box=cfg.N_BOX,
+                      top_feature_map_depth=cfg.TOP_FEATURE_MAP_DEPTH,
+                      mask_pool_size=cfg.MASK_POOL_SIZE, backbone=cfg.BACKBONE)
+    img1 = jnp.zeros((1, *cfg.IMAGE_SHAPE), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), img1,
+                         jnp.zeros((1, 8, 4), jnp.float32), train=False)
+
+    mesh = build_mesh(cfg)
+    images = jax.device_put(
+        np.random.default_rng(0).random((8, *cfg.IMAGE_SHAPE), np.float32),
+        batch_sharding(mesh))
+    variables = replicate_tree(variables, mesh)
+
+    out = jax.jit(lambda v, im: pipelines.detect_outputs(net, v, im, cfg))(
+        variables, images)
+    assert out["boxes"].shape == (8, 8, 4)
+    assert out["masks"].shape == (8, 8, 416, 416)
+    assert out["masks"].dtype == bool
+    # result stays sharded over the data axis
+    assert len(out["boxes"].sharding.device_set) == 8

@@ -62,3 +62,34 @@ def test_display_weight_stats(capsys):
 def test_random_colors_distinct():
     colors = visualize.random_colors(5, seed=0)
     assert len(set(colors)) == 5
+
+
+def test_display_differences_smoke(tmp_path, rng):
+    image = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    gt_boxes = np.array([[5, 5, 30, 30]], dtype=np.float32)
+    gt_masks = np.zeros((64, 64, 1), bool); gt_masks[8:28, 8:28, 0] = True
+    pred_boxes = np.array([[6, 6, 31, 31], [40, 40, 60, 60]], dtype=np.float32)
+    pred_masks = np.zeros((64, 64, 2), bool)
+    pred_masks[8:28, 8:28, 0] = True
+    pred_masks[42:58, 42:58, 1] = True
+    out = tmp_path / "diff.png"
+    gt_match, pred_match, overlaps = visualize.display_differences(
+        image, gt_boxes, np.array([1]), gt_masks,
+        pred_boxes, np.array([1, 2]), np.array([0.9, 0.8]), pred_masks,
+        ["bg", "a", "b"], save_path=str(out))
+    assert out.exists() and out.stat().st_size > 0
+    assert pred_match[0] == 0      # matched the GT
+    assert pred_match[1] == -1     # false positive
+
+
+def test_draw_rois_smoke(tmp_path, rng):
+    image = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    rois = (rng.rand(20, 4) * 32).astype(np.float32)
+    rois[:, 2:] += rois[:, :2]  # make x2>x1, y2>y1
+    refined = rois + 2
+    mask = rng.rand(64, 64, 20) > 0.8
+    class_ids = rng.randint(0, 3, 20)
+    out = tmp_path / "rois.png"
+    visualize.draw_rois(image, rois, refined, mask, class_ids,
+                        ["bg", "a", "b"], limit=8, save_path=str(out))
+    assert out.exists() and out.stat().st_size > 0

@@ -9,9 +9,11 @@ differences isolate per-stage cost:
   +decode          + grid decode to boxes/scores/classes
   +nms             + top-K + class NMS
   +mask            + ROIAlign + mask head + class-select
-  +paste (=full)   + on-chip mask paste to 224² + threshold
+  full             + on-chip mask paste to 224² + threshold
 
-Run: python tools/profile_stages.py [batch_size]
+Run: python tools/profile_stages.py [batch_size] [stage ...]
+(one stage per process keeps each run inside this runner's compile window;
+XLA programs are cached persistently so reruns are cheap)
 """
 
 from __future__ import annotations
@@ -26,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np
+
 
 
 def _checksum(*arrays):
@@ -106,11 +109,14 @@ def main():
 
     stages = [("trunk", stage_trunk), ("+decode", stage_decode),
               ("+nms", stage_nms), ("+mask", stage_mask), ("full", stage_full)]
+    if len(sys.argv) > 2:
+        wanted = set(sys.argv[2:])
+        stages = [s for s in stages if s[0] in wanted]
 
     images = jax.device_put(jnp.asarray(
         np.random.RandomState(0).rand(batch, *cfg.IMAGE_SHAPE).astype(np.float32)))
 
-    n1, n2 = 2, 12
+    n1, n2 = 1, 6
 
     def make_repeat(fn):
         @functools.partial(jax.jit, static_argnums=(1,))
@@ -137,8 +143,8 @@ def main():
             if dt > 0:
                 best = min(best, dt)
         us_img = best / batch * 1e6
-        print(f"{name:10s} {best*1e3:8.3f} ms/iter  {us_img:8.2f} µs/img  "
-              f"(+{us_img - prev:6.2f})", flush=True)
+        print(f"{name:10s} {best*1e3:8.3f} ms/iter  {us_img:8.2f} µs/img",
+              flush=True)
         prev = us_img
 
 

@@ -1,0 +1,92 @@
+"""Quality run: train Mask-YOLO on Shapes to convergence on the TPU, then
+report box/mask AP and save qualitative overlays.
+
+This produces the quantitative numbers the reference never published
+(SURVEY.md §6) plus the qualitative PNG parity artifacts (README.md:10-22).
+
+Run: python tools/quality_run.py --epochs 40 --train-images 400
+Outputs under --out (default ./quality_run/): weights/, metrics.json,
+InferMaskYOLO-*.png overlays.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train-images", type=int, default=400)
+    ap.add_argument("--val-images", type=int, default=50)
+    ap.add_argument("--eval-images", type=int, default=50)
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--out", default="./quality_run")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--num-overlays", type=int, default=4)
+    ap.add_argument("--score-threshold", type=float, default=0.35)
+    args = ap.parse_args()
+
+    from mask_yolo_tpu import MaskYOLO, evaluate_dataset
+    from mask_yolo_tpu.data.shapes import ShapesConfig, ShapesDataset
+
+    class RunConfig(ShapesConfig):
+        BATCH_SIZE = args.batch_size
+
+    config = RunConfig()
+    os.makedirs(args.out, exist_ok=True)
+
+    train_ds = ShapesDataset()
+    train_ds.load_shapes(args.train_images, config.IMAGE_SHAPE[0],
+                         config.IMAGE_SHAPE[1], seed=args.seed)
+    train_ds.prepare()
+    val_ds = ShapesDataset()
+    val_ds.load_shapes(args.val_images, config.IMAGE_SHAPE[0],
+                       config.IMAGE_SHAPE[1], seed=args.seed + 1)
+    val_ds.prepare()
+    eval_ds = ShapesDataset()
+    eval_ds.load_shapes(args.eval_images, config.IMAGE_SHAPE[0],
+                        config.IMAGE_SHAPE[1], seed=args.seed + 2)
+    eval_ds.prepare()
+
+    model = MaskYOLO(mode="training", config=config,
+                     model_dir=os.path.join(args.out, "ckpt"), seed=args.seed)
+    t0 = time.perf_counter()
+    model.train(train_ds, val_ds, learning_rate=args.lr, epochs=args.epochs,
+                layers="all")
+    train_s = time.perf_counter() - t0
+    weights = os.path.join(args.out, "weights")
+    model.save_weights(weights)
+    print(f"trained {args.epochs} epochs in {train_s:.0f}s", flush=True)
+
+    infer = MaskYOLO(mode="inference", config=RunConfig())
+    infer.load_weights(weights)
+
+    t0 = time.perf_counter()
+    result = evaluate_dataset(infer, eval_ds, config, batch_size=8,
+                              score_threshold=args.score_threshold)
+    eval_s = time.perf_counter() - t0
+    result.pop("per_image")
+    result["train_seconds"] = round(train_s, 1)
+    result["eval_seconds"] = round(eval_s, 1)
+    result["epochs"] = args.epochs
+    result["train_images"] = args.train_images
+    with open(os.path.join(args.out, "metrics.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2), flush=True)
+
+    for image_id in list(eval_ds.image_ids)[:args.num_overlays]:
+        infer.detect(eval_ds.load_image(image_id), save_path=args.out,
+                     cs_threshold=args.score_threshold)
+    print("overlays saved to", args.out, flush=True)
+
+
+if __name__ == "__main__":
+    main()
