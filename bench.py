@@ -82,19 +82,42 @@ def make_repeat_fn(net, cfg):
     return repeat
 
 
-def bench_detect(repeat, variables, cfg, batch_size: int,
+def make_repeat_fn_int8(det):
+    """Same harness over the int8 quantized detect pipeline (quant.py)."""
+    from mask_yolo_tpu import pipelines
+
+    cfg = det.config
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def repeat(images, n):
+        def body(carry, _):
+            img, acc = carry
+            out = pipelines.detect_from_callables(det.trunk, det.mask_branch,
+                                                  img, cfg)
+            s = _checksum(out)
+            img = img + s * jnp.float32(1e-30)
+            return (img, acc + s), None
+        (_, acc), _ = jax.lax.scan(body, (images, jnp.float32(0)), None,
+                                   length=n)
+        return acc
+
+    return repeat
+
+
+def bench_detect(call, cfg, batch_size: int,
                  n1: int = 2, n2: int = 12, reps: int = 3):
+    """call(images, n) -> scalar; returns images/sec via delta timing."""
     images = jax.device_put(
         jnp.asarray(np.random.RandomState(0)
                     .rand(batch_size, *cfg.IMAGE_SHAPE).astype(np.float32)))
-    float(repeat(variables, images, n1))  # compile + warm
-    float(repeat(variables, images, n2))
+    float(call(images, n1))  # compile + warm
+    float(call(images, n2))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(repeat(variables, images, n1))
+        float(call(images, n1))
         t1 = time.perf_counter()
-        float(repeat(variables, images, n2))
+        float(call(images, n2))
         t2 = time.perf_counter()
         dt = (t2 - t1) - (t1 - t0)
         if dt > 0:
@@ -105,25 +128,43 @@ def bench_detect(repeat, variables, cfg, batch_size: int,
 
 
 def main():
+    from mask_yolo_tpu.quant import QuantizedDetector
+
     cfg, net, variables = _setup()
-    repeat = make_repeat_fn(net, cfg)
+    repeat_bf16 = make_repeat_fn(net, cfg)
+    calib = np.random.RandomState(1).rand(8, *cfg.IMAGE_SHAPE).astype(np.float32)
+    det = QuantizedDetector.from_variables(jax.device_get(variables), cfg, calib)
+    repeat_int8 = make_repeat_fn_int8(det)
+
+    paths = {
+        "bf16": lambda im, n: repeat_bf16(variables, im, n),
+        "int8": repeat_int8,
+    }
     best = 0.0
-    best_bs = 0
-    for bs in (128, 256):
-        try:
-            ips = bench_detect(repeat, variables, cfg, bs)
-        except Exception as e:  # OOM at large batch etc.
-            print(f"# batch {bs} failed: {type(e).__name__}: {e}", flush=True)
-            continue
-        print(f"# batch {bs}: {ips:,.0f} img/s", flush=True)
-        if ips > best:
-            best, best_bs = ips, bs
+    best_bs, best_path = 0, ""
+    per_path = {}
+    # batch 128 measured faster than 256 on both paths; one batch size keeps
+    # the whole bench inside this runner's slow compile window
+    for path, call in paths.items():
+        for bs in (128,):
+            try:
+                ips = bench_detect(call, cfg, bs)
+            except Exception as e:  # OOM at large batch etc.
+                print(f"# {path} batch {bs} failed: {type(e).__name__}: {e}",
+                      flush=True)
+                continue
+            print(f"# {path} batch {bs}: {ips:,.0f} img/s", flush=True)
+            per_path[path] = max(per_path.get(path, 0.0), ips)
+            if ips > best:
+                best, best_bs, best_path = ips, bs, path
     result = {
         "metric": "images/sec/chip end-to-end detect (224², boxes+masks on-chip)",
         "value": round(best, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(best / TARGET, 3),
         "batch_size": best_bs,
+        "path": best_path,
+        "per_path": {k: round(v, 1) for k, v in per_path.items()},
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

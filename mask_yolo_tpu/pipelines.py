@@ -194,12 +194,25 @@ def detect_outputs(net, variables, images, config, score_threshold=None):
       masks   [B, K, H, W] bool full-size instance masks
       valid   [B, K] bool
     """
+    trunk = lambda imgs: net.apply(variables, imgs, train=False,
+                                   method=net.trunk)
+    mask_branch = lambda rois, fmap: net.apply(variables, rois, fmap,
+                                               train=False,
+                                               method=net.mask_branch)
+    return detect_from_callables(trunk, mask_branch, images, config,
+                                 score_threshold)
+
+
+def detect_from_callables(trunk, mask_branch, images, config,
+                          score_threshold=None):
+    """detect_outputs with pluggable trunk/mask executors — shared by the
+    flax f32/bf16 path above and the int8 quantized path (quant.py)."""
     if score_threshold is None:
         score_threshold = config.OBJ_THRESHOLD
     k = config.DETECTION_MAX_INSTANCES
     h, w = config.IMAGE_SHAPE[:2]
 
-    grid, fmap = net.apply(variables, images, train=False, method=net.trunk)
+    grid, fmap = trunk(images)
     det = decode_detections(grid, config.anchors_wh, config.GRID_H, config.GRID_W)
     boxes, scores, classes = det[..., :4], det[..., 4], det[..., 5].astype(jnp.int32)
 
@@ -220,8 +233,7 @@ def detect_outputs(net, variables, images, config, score_threshold=None):
     valid = valid & keep
 
     # mask branch on the K survivors only (equivalence note in module docstring)
-    pred_masks = net.apply(variables, top_boxes, fmap, train=False,
-                           method=net.mask_branch)  # [B, K, mh, mw, C]
+    pred_masks = mask_branch(top_boxes, fmap)  # [B, K, mh, mw, C]
     onehot = jax.nn.one_hot(top_classes, config.NUM_CLASSES,
                             dtype=pred_masks.dtype)
     sel_masks = jnp.einsum("bkhwc,bkc->bkhw", pred_masks, onehot)

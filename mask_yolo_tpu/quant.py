@@ -1,0 +1,334 @@
+"""Post-training int8 quantized inference path.
+
+New capability vs the reference (which is float32 Keras end to end): the
+convolution stack — backbone, neck, YOLO head and mask head — runs with int8
+operands on the MXU, which this chip executes ~4.5× faster than bfloat16
+(measured 1.13 POP/s int8 vs 0.25 PFLOP/s bf16 on the neck-shaped 3×3 conv).
+
+Scheme (standard PTQ):
+  * BatchNorm is folded into the preceding conv's kernel + bias
+    (inference-time affine).
+  * Weights: symmetric per-output-channel int8, scale = absmax/127.
+  * Activations: symmetric per-tensor int8 with *static* scales collected by
+    a one-pass calibration over sample images (absmax, f32 forward).
+  * Accumulation in int32 (`preferred_element_type`), dequantized to f32,
+    bias + activation applied, then re-quantized at the next conv.
+  * Depthwise convs stay bfloat16 — they are <10% of the FLOPs and grouped
+    int8 convs lower poorly; the pointwise/3×3 convs carrying ~90% of the
+    FLOPs are quantized.
+
+The layer graph below mirrors models/{mobilenet,yolo_head,network,mask_head}
+exactly (same names, same strides); `test_quant.py` asserts the folded f32
+graph reproduces the flax forward bit-closely so the two cannot drift.
+
+Reference anchor: the conv stack being quantized is the reference's
+mobilenet_graph + yolo_branch_graph + feature_map + build_mask_graph
+(/root/reference/myolo/model.py:55-79, 249-292, 848, 668-715).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.layers import relu6
+from .ops.roi_align import crop_and_resize
+
+
+# ---------------------------------------------------------------------------
+# BN folding + layer-graph extraction
+# ---------------------------------------------------------------------------
+
+
+def fold_conv_bn(kernel, bn_params, bn_stats, conv_bias=None, eps: float = 1e-3):
+    """Fold an inference-mode BatchNorm into the preceding conv.
+
+    y = gamma * (conv(x) + b - mean) / sqrt(var + eps) + beta
+      = conv(x) * f + (b - mean) * f + beta,   f = gamma / sqrt(var + eps)
+    """
+    gamma = np.asarray(bn_params["scale"], np.float32)
+    beta = np.asarray(bn_params["bias"], np.float32)
+    mean = np.asarray(bn_stats["mean"], np.float32)
+    var = np.asarray(bn_stats["var"], np.float32)
+    f = gamma / np.sqrt(var + eps)
+    k = np.asarray(kernel, np.float32) * f  # broadcast over trailing O axis
+    b = np.zeros_like(mean) if conv_bias is None else np.asarray(conv_bias, np.float32)
+    return k, (b - mean) * f + beta
+
+
+@dataclass
+class Layer:
+    """One conv layer of the folded inference graph."""
+
+    name: str
+    kind: str          # 'conv' | 'dw' | 'deconv'
+    kernel: Any        # f32 [kh, kw, I(/g), O]
+    bias: Any          # f32 [O]
+    strides: tuple = (1, 1)
+    act: str = "relu6"  # 'relu6' | 'relu' | 'linear' | 'sigmoid'
+    groups: int = 1
+    quantize: bool = True
+    # filled by quantize_graph():
+    w_q: Any = None       # int8 kernel
+    w_scale: Any = None   # f32 [O]
+    a_scale: float = 0.0  # f32 input activation scale
+
+
+def _ds_block(params, stats, name, strides):
+    """DepthwiseSeparable block → [dw layer (bf16), pw layer (int8)]."""
+    p, s = params[name], stats[name]
+    dwk, dwb = fold_conv_bn(p["conv_dw"]["kernel"], p["conv_dw_bn"], s["conv_dw_bn"])
+    pwk, pwb = fold_conv_bn(p["conv_pw"]["kernel"], p["conv_pw_bn"], s["conv_pw_bn"])
+    # depthwise kernel is [kh, kw, 1, C] → feature_group_count = C
+    groups = int(dwk.shape[-1])
+    return [
+        Layer(f"{name}/dw", "dw", dwk, dwb, strides, "relu6",
+              groups=groups, quantize=False),
+        Layer(f"{name}/pw", "conv", pwk, pwb, (1, 1), "relu6"),
+    ]
+
+
+def build_layer_graph(variables, config):
+    """Extract the folded inference layer graph from flax variables.
+
+    Returns dict with 'stem'+'backbone' (shared trunk), 'neck', 'yolo',
+    'mask' layer lists. Only BACKBONE='mobilenet' is supported on the
+    quantized path.
+    """
+    if config.BACKBONE != "mobilenet":
+        raise NotImplementedError("int8 path supports the mobilenet backbone")
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    bb_p, bb_s = params["backbone"], stats["backbone"]
+    trunk = []
+    k, b = fold_conv_bn(bb_p["conv1"]["conv"]["kernel"], bb_p["conv1"]["bn"],
+                        bb_s["conv1"]["bn"])
+    trunk.append(Layer("conv1", "conv", k, b, (2, 2), "relu6"))
+    bb_strides = {"block2": (2, 2), "block4": (2, 2)}
+    for i in range(1, 7):
+        name = f"block{i}"
+        trunk += _ds_block(bb_p, bb_s, name, bb_strides.get(name, (1, 1)))
+
+    neck = [Layer("feature_map", "conv",
+                  np.asarray(params["feature_map"]["kernel"], np.float32),
+                  np.asarray(params["feature_map"]["bias"], np.float32),
+                  (1, 1), "linear")]
+
+    y_p, y_s = params["yolo"], stats["yolo"]
+    yolo = []
+    y_strides = {"block7": (2, 2), "block13": (2, 2)}
+    for i in range(7, 15):
+        name = f"block{i}"
+        yolo += _ds_block(y_p, y_s, name, y_strides.get(name, (1, 1)))
+    yolo.append(Layer("conv_23", "conv",
+                      np.asarray(y_p["conv_23"]["kernel"], np.float32),
+                      np.asarray(y_p["conv_23"]["bias"], np.float32),
+                      (1, 1), "linear"))
+
+    m_p, m_s = params["mask"], stats["mask"]
+    mask = []
+    for i in range(1, 5):
+        k, b = fold_conv_bn(m_p[f"mask_conv{i}"]["kernel"],
+                            m_p[f"mask_bn{i}"], m_s[f"mask_bn{i}"],
+                            conv_bias=m_p[f"mask_conv{i}"].get("bias"))
+        mask.append(Layer(f"mask_conv{i}", "conv", k, b, (1, 1), "relu"))
+    mask.append(Layer("mask_deconv", "deconv",
+                      np.asarray(m_p["mask_deconv"]["kernel"], np.float32),
+                      np.asarray(m_p["mask_deconv"]["bias"], np.float32),
+                      (2, 2), "relu", quantize=False))
+    mask.append(Layer("mask_out", "conv",
+                      np.asarray(m_p["mask_out"]["kernel"], np.float32),
+                      np.asarray(m_p["mask_out"]["bias"], np.float32),
+                      (1, 1), "sigmoid", quantize=False))
+    return {"trunk": trunk, "neck": neck, "yolo": yolo, "mask": mask}
+
+
+# ---------------------------------------------------------------------------
+# Forward execution (f32 reference / int8 quantized)
+# ---------------------------------------------------------------------------
+
+_ACTS = {
+    "relu6": relu6,
+    "relu": jax.nn.relu,
+    "linear": lambda x: x,
+    "sigmoid": jax.nn.sigmoid,
+}
+
+
+def _conv(x, kernel, strides, groups=1):
+    return jax.lax.conv_general_dilated(
+        x, kernel, strides, "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32)
+
+
+def _deconv(x, kernel, strides):
+    # flax ConvTranspose semantics: conv_transpose with HWIO kernel
+    return jax.lax.conv_transpose(
+        x, kernel, strides, "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+
+
+def run_layer_f32(layer: Layer, x, collect=None):
+    """Reference f32 execution of one folded layer (also calibration probe:
+    appends (name, absmax(x)) to `collect` for quantizable layers)."""
+    if collect is not None and layer.quantize:
+        collect.append((layer.name, jnp.max(jnp.abs(x))))
+    k = jnp.asarray(layer.kernel)
+    if layer.kind == "deconv":
+        y = _deconv(x, k, layer.strides)
+    else:
+        y = _conv(x, k, layer.strides, layer.groups)
+    y = y + jnp.asarray(layer.bias)
+    return _ACTS[layer.act](y)
+
+
+def run_layer_int8(layer: Layer, x):
+    """Quantized execution: int8 conv on the MXU, int32 accumulation."""
+    if not layer.quantize or layer.a_scale == 0.0:
+        # bf16 fallback (depthwise / final sigmoid conv / deconv)
+        k = jnp.asarray(layer.kernel, jnp.bfloat16)
+        xb = x.astype(jnp.bfloat16)
+        if layer.kind == "deconv":
+            y = _deconv(xb, k, layer.strides)
+        else:
+            y = _conv(xb, k, layer.strides, layer.groups)
+        y = y.astype(jnp.float32) + jnp.asarray(layer.bias)
+        return _ACTS[layer.act](y)
+
+    inv = jnp.float32(1.0 / layer.a_scale)
+    x_q = jnp.clip(jnp.round(x * inv), -127, 127).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        x_q, jnp.asarray(layer.w_q), layer.strides, "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=layer.groups,
+        preferred_element_type=jnp.int32)
+    scale = jnp.asarray(layer.w_scale) * jnp.float32(layer.a_scale)
+    y = y.astype(jnp.float32) * scale + jnp.asarray(layer.bias)
+    return _ACTS[layer.act](y)
+
+
+def run_layers(layers, x, quant: bool, collect=None):
+    for layer in layers:
+        x = run_layer_int8(layer, x) if quant else run_layer_f32(layer, x, collect)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Calibration + weight quantization
+# ---------------------------------------------------------------------------
+
+
+def _trunk_outputs(graph, images, quant: bool, collect=None):
+    c4 = run_layers(graph["trunk"], images, quant, collect)
+    fmap = run_layers(graph["neck"], c4, quant, collect)
+    raw = run_layers(graph["yolo"], c4, quant, collect)
+    return raw, fmap
+
+
+def _mask_outputs(graph, rois, fmap, pool_size: int, num_classes: int,
+                  quant: bool, collect=None):
+    b, r = rois.shape[:2]
+    x = crop_and_resize(fmap, rois, (pool_size, pool_size), dtype=jnp.float32)
+    x = x.reshape(b * r, pool_size, pool_size, x.shape[-1])
+    x = run_layers(graph["mask"], x, quant, collect)
+    side = 2 * pool_size
+    return x.reshape(b, r, side, side, num_classes)
+
+
+def calibrate(graph, config, images, rois=None):
+    """One f32 forward over calibration images; sets each layer's a_scale.
+
+    images: [N, H, W, 3] float in [0, 1]. rois: [N, R, 4] normalized boxes for
+    the mask branch (defaults to a few spread boxes)."""
+    if rois is None:
+        base = np.asarray([[0.0, 0.0, 1.0, 1.0], [0.1, 0.1, 0.6, 0.6],
+                           [0.4, 0.4, 0.9, 0.9], [0.25, 0.25, 0.75, 0.75]],
+                          np.float32)
+        rois = np.tile(base[None], (images.shape[0], 1, 1))
+
+    @jax.jit
+    def probe(images, rois):
+        collect = []
+        raw, fmap = _trunk_outputs(graph, images, quant=False, collect=collect)
+        _mask_outputs(graph, rois, fmap, config.MASK_POOL_SIZE,
+                      config.NUM_CLASSES, quant=False, collect=collect)
+        return {name: v for name, v in collect}
+
+    absmax = jax.device_get(probe(jnp.asarray(images), jnp.asarray(rois)))
+    for part in graph.values():
+        for layer in part:
+            if layer.quantize and layer.name in absmax:
+                layer.a_scale = float(absmax[layer.name]) / 127.0 or 1.0
+    return graph
+
+
+def quantize_weights(graph):
+    """Symmetric per-output-channel int8 weights for quantizable layers."""
+    for part in graph.values():
+        for layer in part:
+            if not layer.quantize:
+                continue
+            k = np.asarray(layer.kernel, np.float32)
+            absmax = np.abs(k).reshape(-1, k.shape[-1]).max(axis=0)
+            scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+            layer.w_q = np.clip(np.round(k / scale), -127, 127).astype(np.int8)
+            layer.w_scale = scale
+    return graph
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+class QuantizedDetector:
+    """int8 end-to-end detect pipeline with the same outputs as
+    pipelines.detect_outputs (decode/NMS/top-K/paste stay f32 on-chip)."""
+
+    def __init__(self, graph, config):
+        self.graph = graph
+        self.config = config
+        self._detect = None
+
+    @classmethod
+    def from_variables(cls, variables, config, calib_images):
+        graph = build_layer_graph(variables, config)
+        graph = calibrate(graph, config, calib_images)
+        graph = quantize_weights(graph)
+        return cls(graph, config)
+
+    def trunk(self, images, quant: bool = True):
+        raw, fmap = _trunk_outputs(self.graph, images, quant)
+        b, gh, gw = raw.shape[0], raw.shape[1], raw.shape[2]
+        nb = self.config.N_BOX
+        grid = raw.reshape(b, gh, gw, nb, raw.shape[-1] // nb)
+        return grid.astype(jnp.float32), fmap
+
+    def mask_branch(self, rois, fmap, quant: bool = True):
+        return _mask_outputs(self.graph, rois, fmap,
+                             self.config.MASK_POOL_SIZE,
+                             self.config.NUM_CLASSES, quant)
+
+    def detect_outputs(self, images):
+        """Same contract as pipelines.detect_outputs, int8 conv stack."""
+        if self._detect is None:
+            from . import pipelines
+
+            config = self.config
+
+            @jax.jit
+            def detect(images):
+                return pipelines.detect_from_callables(
+                    self.trunk, self.mask_branch, images, config)
+
+            self._detect = detect
+        return self._detect(images)

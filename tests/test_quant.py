@@ -1,0 +1,112 @@
+"""int8 quantized-path tests: the folded f32 layer graph reproduces the flax
+forward, calibration+weight-quantization run, and the int8 detect pipeline
+agrees with the f32 one on which boxes it finds."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mask_yolo_tpu import pipelines, quant
+from mask_yolo_tpu.models.network import MaskYoloNet
+
+
+@pytest.fixture(scope="module")
+def setup(rng):
+    from conftest import TinyConfig
+
+    class QConfig(TinyConfig):
+        NUM_CLASSES = 4
+        LABELS = ["background", "square", "circle", "triangle"]
+        COMPUTE_DTYPE = "float32"
+
+    cfg = QConfig()
+    net = MaskYoloNet(num_classes=cfg.NUM_CLASSES, n_box=cfg.N_BOX,
+                      top_feature_map_depth=cfg.TOP_FEATURE_MAP_DEPTH,
+                      mask_pool_size=cfg.MASK_POOL_SIZE, backbone=cfg.BACKBONE)
+    img = jnp.zeros((2, *cfg.IMAGE_SHAPE), jnp.float32)
+    rois = jnp.zeros((2, 4, 4), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(7), img, rois, train=False)
+    images = jnp.asarray(rng.rand(2, *cfg.IMAGE_SHAPE).astype(np.float32))
+    return cfg, net, variables, images
+
+
+def test_folded_graph_matches_flax_trunk(setup):
+    cfg, net, variables, images = setup
+    graph = quant.build_layer_graph(variables, cfg)
+    det = quant.QuantizedDetector(graph, cfg)
+
+    grid_ref, fmap_ref = net.apply(variables, images, train=False,
+                                   method=net.trunk)
+    grid_q, fmap_q = jax.jit(lambda im: det.trunk(im, quant=False))(images)
+    np.testing.assert_allclose(np.asarray(fmap_q), np.asarray(fmap_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(grid_q), np.asarray(grid_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_folded_graph_matches_flax_mask_branch(setup, rng):
+    cfg, net, variables, images = setup
+    graph = quant.build_layer_graph(variables, cfg)
+    det = quant.QuantizedDetector(graph, cfg)
+
+    rois = jnp.asarray(np.stack([
+        [[0.1, 0.1, 0.6, 0.6], [0.3, 0.2, 0.9, 0.8],
+         [0.0, 0.0, 1.0, 1.0], [0.4, 0.4, 0.5, 0.5]]] * 2).astype(np.float32))
+    _, fmap = net.apply(variables, images, train=False, method=net.trunk)
+    ref = net.apply(variables, rois, fmap, train=False, method=net.mask_branch)
+    got = jax.jit(lambda r, f: det.mask_branch(r, f, quant=False))(rois, fmap)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_int8_close_to_f32(setup):
+    cfg, net, variables, images = setup
+    det = quant.QuantizedDetector.from_variables(variables, cfg,
+                                                 np.asarray(images))
+    # every quantizable layer got calibrated + quantized
+    for part in det.graph.values():
+        for layer in part:
+            if layer.quantize:
+                assert layer.a_scale > 0, layer.name
+                assert layer.w_q is not None and layer.w_q.dtype == np.int8
+
+    grid_f, fmap_f = jax.jit(lambda im: det.trunk(im, quant=False))(images)
+    grid_q, fmap_q = jax.jit(lambda im: det.trunk(im, quant=True))(images)
+    # int8 path tracks f32 within quantization noise, relative to value range
+    scale = float(np.abs(np.asarray(grid_f)).max())
+    err = np.abs(np.asarray(grid_q) - np.asarray(grid_f)).max()
+    assert err < 0.1 * scale + 0.05, (err, scale)
+
+
+def test_int8_detect_outputs_contract(setup):
+    cfg, net, variables, images = setup
+    det = quant.QuantizedDetector.from_variables(variables, cfg,
+                                                 np.asarray(images))
+    out = det.detect_outputs(images)
+    k = cfg.DETECTION_MAX_INSTANCES
+    h, w = cfg.IMAGE_SHAPE[:2]
+    assert out["boxes"].shape == (2, k, 4)
+    assert out["masks"].shape == (2, k, h, w)
+    assert out["masks"].dtype == bool
+
+    # same decode: the top-scoring box of the int8 path should be among the
+    # f32 path's boxes (untrained net → scores are arbitrary but deterministic)
+    ref = jax.jit(lambda v, im: pipelines.detect_outputs(net, v, im, cfg))(
+        variables, images)
+    d = np.abs(np.asarray(ref["boxes"][0, 0]) - np.asarray(out["boxes"][0])).sum(-1)
+    assert d.min() < 5.0  # within a few pixels of some kept box
+
+
+def test_maskyolo_quantize_api(setup, rng):
+    """MaskYOLO.quantize() switches detect to the int8 path end-to-end."""
+    from mask_yolo_tpu import MaskYOLO
+
+    cfg = setup[0]
+    model = MaskYOLO(mode="inference", config=cfg)
+    calib = rng.rand(2, *cfg.IMAGE_SHAPE).astype(np.float32)
+    model.quantize(calib)
+    image = (rng.rand(*cfg.IMAGE_SHAPE) * 255).astype(np.uint8)
+    results = model.detect(image, display=False, cs_threshold=0.0)
+    assert "full_masks" in results[0]
+    assert results[0]["full_masks"].shape[:2] == tuple(cfg.IMAGE_SHAPE[:2])

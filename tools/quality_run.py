@@ -74,6 +74,30 @@ def main():
                               score_threshold=args.score_threshold)
     eval_s = time.perf_counter() - t0
     result.pop("per_image")
+
+    # int8 quantized-path accuracy (same weights, PTQ calibration on a few
+    # eval images) — quantifies the quantization cost of the 4.5x-faster path
+    import numpy as np
+
+    from mask_yolo_tpu.data.loader import load_image_gt
+    from mask_yolo_tpu.quant import QuantizedDetector
+
+    calib = np.stack([
+        load_image_gt(eval_ds, config, i)[0].astype(np.float32) / 255.0
+        for i in list(eval_ds.image_ids)[:8]])
+    qdet = QuantizedDetector.from_variables(infer.variables, config, calib)
+
+    class _QuantAdapter:
+        def detect_batch(self, images):
+            import jax.numpy as jnp
+            return qdet.detect_outputs(jnp.asarray(images))
+
+    q_result = evaluate_dataset(_QuantAdapter(), eval_ds, config,
+                                batch_size=8,
+                                score_threshold=args.score_threshold)
+    result["int8_box_ap50"] = q_result["box_ap50"]
+    result["int8_mask_ap50"] = q_result["mask_ap50"]
+    result["int8_mean_recall50"] = q_result["mean_recall50"]
     result["train_seconds"] = round(train_s, 1)
     result["eval_seconds"] = round(eval_s, 1)
     result["epochs"] = args.epochs
