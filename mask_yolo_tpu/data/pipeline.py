@@ -99,3 +99,60 @@ class BatchGenerator:
             batch["gt_boxes"] = gt_boxes.astype(np.float32)
             batch["gt_masks"] = self.data["gt_masks"][ids]
         return batch
+
+
+def data_generator(dataset, config, shuffle=True, augment=False,
+                   augmentation=None, mode="training", error_limit=5):
+    """Endless python-generator batch source — the reference's legacy
+    `data_generator` surface (myolo_utils.py:457-686), including its
+    skip-after-logging error policy (errors on one image are logged and the
+    image skipped; more than `error_limit` consecutive errors re-raises,
+    myolo_utils.py:677-686).
+
+    Yields the same fixed-shape batch dicts as BatchGenerator. Unlike the
+    preload path this re-reads (and re-augments) images every epoch, so it
+    suits datasets too large to preload or with stochastic augmentation.
+    """
+    import logging
+
+    from .loader import load_image_gt, pack_gt
+
+    b = config.BATCH_SIZE
+    image_ids = np.copy(dataset.image_ids)
+    rng = np.random.RandomState(0)
+    index, errors = -1, 0
+    items = []
+    while True:
+        index = (index + 1) % len(image_ids)
+        if shuffle and index == 0:
+            rng.shuffle(image_ids)
+        image_id = image_ids[index]
+        try:
+            image, cids, boxes, masks = load_image_gt(
+                dataset, config, image_id, augment=augment,
+                augmentation=augmentation)
+            ids, bxs, msks = pack_gt(cids, boxes, masks, config)
+            errors = 0
+        except Exception:
+            logging.exception("Error processing image %s",
+                              dataset.image_info[image_id])
+            errors += 1
+            if errors > error_limit:
+                raise
+            continue
+        items.append((image.astype(np.float32) / 255.0, ids, bxs, msks))
+        if len(items) < b:
+            continue
+        images = np.stack([it[0] for it in items])
+        gt_ids = np.stack([it[1] for it in items])
+        gt_boxes = np.stack([it[2] for it in items])
+        gt_masks = np.stack([it[3] for it in items])
+        items = []
+        yolo_target, true_boxes = encode_batch(gt_boxes, gt_ids, config)
+        batch = {"image": images, "true_boxes": true_boxes,
+                 "yolo_target": yolo_target}
+        if mode == "training":
+            batch["gt_class_ids"] = gt_ids
+            batch["gt_boxes"] = gt_boxes.astype(np.float32)
+            batch["gt_masks"] = gt_masks
+        yield batch

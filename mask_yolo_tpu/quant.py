@@ -179,8 +179,10 @@ def _deconv(x, kernel, strides):
 
 def run_layer_f32(layer: Layer, x, collect=None):
     """Reference f32 execution of one folded layer (also calibration probe:
-    appends (name, absmax(x)) to `collect` for quantizable layers)."""
-    if collect is not None and layer.quantize:
+    appends (name, absmax(x)) to `collect` — every layer's input range is
+    needed because chained int8 execution re-quantizes each layer's output
+    to its successor's input scale)."""
+    if collect is not None:
         collect.append((layer.name, jnp.max(jnp.abs(x))))
     k = jnp.asarray(layer.kernel)
     if layer.kind == "deconv":
@@ -191,34 +193,62 @@ def run_layer_f32(layer: Layer, x, collect=None):
     return _ACTS[layer.act](y)
 
 
-def run_layer_int8(layer: Layer, x):
-    """Quantized execution: int8 conv on the MXU, int32 accumulation."""
-    if not layer.quantize or layer.a_scale == 0.0:
-        # bf16 fallback (depthwise / final sigmoid conv / deconv)
+def _quantize_act(x, scale):
+    return jnp.clip(jnp.round(x * jnp.float32(1.0 / scale)),
+                    -127, 127).astype(jnp.int8)
+
+
+def run_layer_int8(layer: Layer, x, x_scale=None, out_scale=None):
+    """Quantized execution of one layer.
+
+    x: int8 tensor with scale `x_scale`, or f32 tensor (x_scale=None).
+    out_scale: if set, the output is re-quantized to int8 at this scale
+    (the next layer's calibrated input scale) so inter-layer tensors stay
+    int8 in HBM — 4× less activation traffic than f32 intermediates, with
+    the epilogue math (dequant→bias→act→requant) fused into the conv by XLA.
+    Returns (y, y_scale): int8+scale if out_scale, else f32+None.
+    """
+    if layer.quantize and layer.w_q is not None and layer.a_scale > 0.0:
+        if x_scale is None:
+            x_q = _quantize_act(x, layer.a_scale)
+            s_in = layer.a_scale
+        else:
+            x_q, s_in = x, x_scale
+        y = jax.lax.conv_general_dilated(
+            x_q, jnp.asarray(layer.w_q), layer.strides, "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=layer.groups,
+            preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (jnp.asarray(layer.w_scale)
+                                     * jnp.float32(s_in)) + jnp.asarray(layer.bias)
+    else:
+        # bf16 compute (depthwise / deconv / final sigmoid conv)
+        xb = (x.astype(jnp.float32) * jnp.float32(x_scale) if x_scale is not None
+              else x).astype(jnp.bfloat16)
         k = jnp.asarray(layer.kernel, jnp.bfloat16)
-        xb = x.astype(jnp.bfloat16)
         if layer.kind == "deconv":
             y = _deconv(xb, k, layer.strides)
         else:
             y = _conv(xb, k, layer.strides, layer.groups)
         y = y.astype(jnp.float32) + jnp.asarray(layer.bias)
-        return _ACTS[layer.act](y)
-
-    inv = jnp.float32(1.0 / layer.a_scale)
-    x_q = jnp.clip(jnp.round(x * inv), -127, 127).astype(jnp.int8)
-    y = jax.lax.conv_general_dilated(
-        x_q, jnp.asarray(layer.w_q), layer.strides, "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=layer.groups,
-        preferred_element_type=jnp.int32)
-    scale = jnp.asarray(layer.w_scale) * jnp.float32(layer.a_scale)
-    y = y.astype(jnp.float32) * scale + jnp.asarray(layer.bias)
-    return _ACTS[layer.act](y)
+    y = _ACTS[layer.act](y)
+    if out_scale:
+        return _quantize_act(y, out_scale), out_scale
+    return y, None
 
 
 def run_layers(layers, x, quant: bool, collect=None):
-    for layer in layers:
-        x = run_layer_int8(layer, x) if quant else run_layer_f32(layer, x, collect)
+    if not quant:
+        for layer in layers:
+            x = run_layer_f32(layer, x, collect)
+        return x
+    scale = None
+    for i, layer in enumerate(layers):
+        nxt = layers[i + 1] if i + 1 < len(layers) else None
+        out_scale = (nxt.a_scale if nxt is not None and nxt.a_scale > 0.0
+                     else None)
+        x, scale = run_layer_int8(layer, x, scale, out_scale)
+    assert scale is None  # segments end in an f32 (linear/sigmoid) layer
     return x
 
 
@@ -266,7 +296,7 @@ def calibrate(graph, config, images, rois=None):
     absmax = jax.device_get(probe(jnp.asarray(images), jnp.asarray(rois)))
     for part in graph.values():
         for layer in part:
-            if layer.quantize and layer.name in absmax:
+            if layer.name in absmax:
                 layer.a_scale = float(absmax[layer.name]) / 127.0 or 1.0
     return graph
 

@@ -114,3 +114,40 @@ def test_training_loss_finite_and_grads_flow(tiny_net_and_vars, rng):
     assert float(gnorm) > 0  # gradients flow
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
+
+
+def test_data_generator_legacy_surface(tiny_config):
+    """The endless-generator API (reference myolo_utils.py:457) yields
+    fixed-shape training batches and skips failing images."""
+    from mask_yolo_tpu.data.pipeline import data_generator
+    from mask_yolo_tpu.data.shapes import ShapesDataset
+
+    class Cfg(type(tiny_config)):
+        NUM_CLASSES = 4
+        LABELS = ["background", "square", "circle", "triangle"]
+        BATCH_SIZE = 2
+
+    cfg = Cfg()
+    ds = ShapesDataset()
+    ds.load_shapes(5, 64, 64, seed=2)
+    ds.prepare()
+    gen = data_generator(ds, cfg, shuffle=True)
+    b1 = next(gen)
+    b2 = next(gen)
+    assert b1["image"].shape == (2, 64, 64, 3)
+    assert b1["yolo_target"].shape == (2, cfg.GRID_H, cfg.GRID_W, cfg.N_BOX,
+                                       5 + cfg.NUM_CLASSES)
+    assert b2["gt_masks"].shape[0] == 2
+    # a failing load_mask gets skipped, not raised (until the error limit)
+    calls = {"n": 0}
+    orig = ds.load_image
+
+    def flaky(image_id):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("boom")
+        return orig(image_id)
+
+    ds.load_image = flaky
+    gen2 = data_generator(ds, cfg, shuffle=False)
+    assert next(gen2)["image"].shape[0] == 2
