@@ -13,9 +13,11 @@ Scheme (standard PTQ):
     a one-pass calibration over sample images (absmax, f32 forward).
   * Accumulation in int32 (`preferred_element_type`), dequantized to f32,
     bias + activation applied, then re-quantized at the next conv.
-  * Depthwise convs stay bfloat16 — they are <10% of the FLOPs and grouped
-    int8 convs lower poorly; the pointwise/3×3 convs carrying ~90% of the
-    FLOPs are quantized.
+  * The pointwise/3×3 convs carrying ~90% of the FLOPs run int8. The mask
+    deconv is reformulated as an exactly equivalent 1×1 conv to 4x channels
+    + depth-to-space so it hits the MXU densely (int8) instead of lowering
+    as a 4x-wasteful dilated conv. Depthwise convs and the final sigmoid
+    mask conv stay bf16 (quantized DW measured slower end-to-end).
 
 The layer graph below mirrors models/{mobilenet,yolo_head,network,mask_head}
 exactly (same names, same strides); `test_quant.py` asserts the folded f32
@@ -84,7 +86,10 @@ def _ds_block(params, stats, name, strides):
     p, s = params[name], stats[name]
     dwk, dwb = fold_conv_bn(p["conv_dw"]["kernel"], p["conv_dw_bn"], s["conv_dw_bn"])
     pwk, pwb = fold_conv_bn(p["conv_pw"]["kernel"], p["conv_pw_bn"], s["conv_pw_bn"])
-    # depthwise kernel is [kh, kw, 1, C] → feature_group_count = C
+    # depthwise kernel is [kh, kw, 1, C] → feature_group_count = C.
+    # DW stays bf16: quantizing it was measured SLOWER end-to-end (8.8k vs
+    # 12.4k img/s) — grouped int8 convs lower poorly at real sizes even
+    # though an isolated microbenchmark looked fine.
     groups = int(dwk.shape[-1])
     return [
         Layer(f"{name}/dw", "dw", dwk, dwb, strides, "relu6",
@@ -138,13 +143,30 @@ def build_layer_graph(variables, config):
                             m_p[f"mask_bn{i}"], m_s[f"mask_bn{i}"],
                             conv_bias=m_p[f"mask_conv{i}"].get("bias"))
         mask.append(Layer(f"mask_conv{i}", "conv", k, b, (1, 1), "relu"))
-    mask.append(Layer("mask_deconv", "deconv",
-                      np.asarray(m_p["mask_deconv"]["kernel"], np.float32),
-                      np.asarray(m_p["mask_deconv"]["bias"], np.float32),
-                      (2, 2), "relu", quantize=False))
-    mask.append(Layer("mask_out", "conv",
-                      np.asarray(m_p["mask_out"]["kernel"], np.float32),
-                      np.asarray(m_p["mask_out"]["bias"], np.float32),
+    # 2×2/s2 ConvTranspose == 1×1 conv to (2·2·O) channels + depth-to-space:
+    # y[2i+di, 2j+dj, o] = Σ_c x[i,j,c] · W[di,dj,c,o]. The deconv therefore
+    # runs as a dense int8 1×1 conv on the MXU with zero padding waste
+    # (conv_transpose lowers as a dilated conv that wastes 4× the FLOPs).
+    # The depth-to-space itself is NOT applied here — a layout transpose of
+    # the [N,14,14,4·256] tensor measured ~30 µs/img — instead the following
+    # 1×1 class conv is expanded block-diagonally to consume the (di,dj,o)
+    # layout directly, and depth-to-space runs after it on the tiny
+    # per-class tensor (256/num_classes× smaller).
+    dk = np.asarray(m_p["mask_deconv"]["kernel"], np.float32)  # [2, 2, C, O]
+    kh, kw, ci, co = dk.shape
+    dk_1x1 = dk.transpose(2, 0, 1, 3).reshape(1, 1, ci, kh * kw * co)
+    mask.append(Layer("mask_deconv", "conv", dk_1x1,
+                      np.tile(np.asarray(m_p["mask_deconv"]["bias"],
+                                         np.float32), kh * kw),
+                      (1, 1), "relu", quantize=True))
+    ok = np.asarray(m_p["mask_out"]["kernel"], np.float32)  # [1, 1, O, C]
+    nc = ok.shape[-1]
+    ok_block = np.zeros((1, 1, kh * kw * co, kh * kw * nc), np.float32)
+    for blk in range(kh * kw):
+        ok_block[0, 0, blk * co:(blk + 1) * co, blk * nc:(blk + 1) * nc] = ok[0, 0]
+    mask.append(Layer("mask_out", "out_d2s", ok_block,
+                      np.tile(np.asarray(m_p["mask_out"]["bias"], np.float32),
+                              kh * kw),
                       (1, 1), "sigmoid", quantize=False))
     return {"trunk": trunk, "neck": neck, "yolo": yolo, "mask": mask}
 
@@ -177,6 +199,15 @@ def _deconv(x, kernel, strides):
         preferred_element_type=jnp.float32)
 
 
+def _depth_to_space2(y):
+    """[B, H, W, 4·O] → [B, 2H, 2W, O] (block layout [dh, dw, o])."""
+    b, h, w, c4 = y.shape
+    o = c4 // 4
+    y = y.reshape(b, h, w, 2, 2, o)
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(b, 2 * h, 2 * w, o)
+
+
 def run_layer_f32(layer: Layer, x, collect=None):
     """Reference f32 execution of one folded layer (also calibration probe:
     appends (name, absmax(x)) to `collect` — every layer's input range is
@@ -190,7 +221,10 @@ def run_layer_f32(layer: Layer, x, collect=None):
     else:
         y = _conv(x, k, layer.strides, layer.groups)
     y = y + jnp.asarray(layer.bias)
-    return _ACTS[layer.act](y)
+    y = _ACTS[layer.act](y)
+    if layer.kind == "out_d2s":
+        y = _depth_to_space2(y)
+    return y
 
 
 def _quantize_act(x, scale):
@@ -232,6 +266,8 @@ def run_layer_int8(layer: Layer, x, x_scale=None, out_scale=None):
             y = _conv(xb, k, layer.strides, layer.groups)
         y = y.astype(jnp.float32) + jnp.asarray(layer.bias)
     y = _ACTS[layer.act](y)
+    if layer.kind == "out_d2s":
+        y = _depth_to_space2(y)
     if out_scale:
         return _quantize_act(y, out_scale), out_scale
     return y, None
@@ -267,7 +303,11 @@ def _trunk_outputs(graph, images, quant: bool, collect=None):
 def _mask_outputs(graph, rois, fmap, pool_size: int, num_classes: int,
                   quant: bool, collect=None):
     b, r = rois.shape[:2]
-    x = crop_and_resize(fmap, rois, (pool_size, pool_size), dtype=jnp.float32)
+    # quant path crops in bf16: halves the [B,K,14,28,C] contraction
+    # intermediates' HBM traffic; calibration/parity path stays f32
+    dt = jnp.bfloat16 if quant else jnp.float32
+    x = crop_and_resize(fmap, rois, (pool_size, pool_size), dtype=dt)
+    x = x.astype(jnp.float32)
     x = x.reshape(b * r, pool_size, pool_size, x.shape[-1])
     x = run_layers(graph["mask"], x, quant, collect)
     side = 2 * pool_size
