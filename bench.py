@@ -82,18 +82,31 @@ def make_repeat_fn(net, cfg):
     return repeat
 
 
-def make_repeat_fn_int8(det):
-    """Same harness over the int8 quantized detect pipeline (quant.py)."""
+def make_repeat_fn_int8(det, fused: bool = False):
+    """Same harness over the int8 quantized detect pipeline (quant.py).
+    fused=True runs the mask branch as the fused per-ROI Pallas kernel."""
     from mask_yolo_tpu import pipelines
 
     cfg = det.config
+    fused_mask = None
+    if fused:
+        from mask_yolo_tpu.ops.pallas_mask import (fused_mask_branch,
+                                                   pack_mask_weights)
+
+        weights = pack_mask_weights(det.graph, cfg.NUM_CLASSES)
+
+        def fused_mask(rois, fmap, classes):
+            return fused_mask_branch(fmap, rois, classes, weights,
+                                     pool=cfg.MASK_POOL_SIZE,
+                                     num_classes=cfg.NUM_CLASSES)
 
     @functools.partial(jax.jit, static_argnums=(1,))
     def repeat(images, n):
         def body(carry, _):
             img, acc = carry
             out = pipelines.detect_from_callables(det.trunk, det.mask_branch,
-                                                  img, cfg)
+                                                  img, cfg,
+                                                  fused_mask=fused_mask)
             s = _checksum(out)
             img = img + s * jnp.float32(1e-30)
             return (img, acc + s), None
@@ -136,6 +149,9 @@ def main():
     det = QuantizedDetector.from_variables(jax.device_get(variables), cfg, calib)
     repeat_int8 = make_repeat_fn_int8(det)
 
+    # the fused Pallas mask kernel (make_repeat_fn_int8(det, fused=True))
+    # measured slower than the XLA int8 conv path at this operating point
+    # (see ops/pallas_mask.py) — not benched by default
     paths = {
         "bf16": lambda im, n: repeat_bf16(variables, im, n),
         "int8": repeat_int8,

@@ -62,7 +62,11 @@ def yolo_loss(y_true, y_pred, true_boxes, config, seen: jnp.ndarray | float = 1e
 
     # --- adjust prediction (model.py:102-115)
     pred_xy = jax.nn.sigmoid(y_pred[..., 0:2]) + cell_grid
-    pred_wh = jnp.exp(y_pred[..., 2:4]) * anchors_b
+    # twh clamp: inactive in the trained regime (|twh| < ~3) but prevents the
+    # reference loss's divergence mode where one bad step pushes twh past
+    # ~88 and exp() overflows to inf, permanently NaN-ing Adam state
+    # (observed at epoch 35 of a 40-epoch Shapes run)
+    pred_wh = jnp.exp(jnp.clip(y_pred[..., 2:4], -8.0, 8.0)) * anchors_b
     pred_conf = jax.nn.sigmoid(y_pred[..., 4])
     pred_class = y_pred[..., 5:]
 

@@ -1,0 +1,280 @@
+"""Pallas TPU kernel: the entire mask branch fused per ROI.
+
+The mask branch is the hot block of the detect pipeline (stage-profiled at
+~2/3 of end-to-end time): ROIAlign crop → four 3×3 convs → 2×2/s2 deconv →
+per-class 1×1 conv → class select, over B·K ROIs. The XLA path executes it
+as separate convs with [B·K, 14, 14, 256] intermediates bouncing through HBM.
+
+This kernel runs ONE ROI per grid step entirely in VMEM:
+
+  * the bilinear crop is two small matmuls against interpolation matrices
+    computed in-kernel from the box coordinates (same construction as
+    ops/roi_align.interp_matrix, reference semantics of
+    tf.image.crop_and_resize — /root/reference/myolo/model.py:299-413);
+  * the 3×3 convs are im2col (nine static shifted slices of the zero-padded
+    tile) + int8 matmuls with int32 accumulation on the MXU, using the same
+    per-channel weight scales / per-tensor activation scales as quant.py —
+    outputs are bit-identical to the XLA int8 path up to f32 epilogue
+    rounding;
+  * the deconv is the dense 1×1 reformulation (quant.py) and the class
+    conv consumes its (dh, dw, o) layout block-diagonally; the requested
+    class's mask is selected with a one-hot contraction;
+  * only the final [28, 28] sigmoid mask is written back to HBM — no
+    intermediate activation ever leaves the chip.
+
+Weights (~2.7 MB int8) stay resident in VMEM across all grid steps
+(constant index maps). Everything fits in ~5 MB of VMEM.
+
+Measured verdict (TPU v5e, batch 128, K=10, 224²): end-to-end detect runs
+at 15.0k img/s with the XLA int8 conv path vs 7.5–8.7k img/s with this
+kernel (per-image and per-ROI grids respectively). The fusion saves HBM
+round-trips, but at P²=196-row tiles the in-kernel im2col (pad + 9 shifted
+slices + concat, per ROI per layer) costs more in Mosaic vector relayouts
+than the saved bandwidth — XLA's conv lowering with its tuned layouts is
+the speed-of-light path for these shapes. The kernel is kept as a correct,
+tested alternative (`QuantizedDetector.detect_outputs(use_pallas=True)`)
+and as the fusion scaffold for operating points with larger pools/ROI
+counts where the tradeoff flips.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interp_weights(lo, hi, in_size: int, out_size: int):
+    """Bilinear interpolation matrix [out_size, in_size] for one span
+    (scalars lo, hi) — in-kernel port of ops/roi_align.interp_matrix."""
+    n = in_size - 1
+    # Mosaic iota is integer-only; cast after
+    steps = jax.lax.broadcasted_iota(jnp.int32, (out_size, 1), 0).astype(
+        jnp.float32) / (out_size - 1)
+    coords = lo * n + steps * ((hi - lo) * n)  # [P, 1]
+    grid = jax.lax.broadcasted_iota(jnp.int32, (1, in_size), 1).astype(
+        jnp.float32)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(coords - grid))  # [P, in]
+    in_range = (coords >= 0.0) & (coords <= n)
+    return w * in_range.astype(jnp.float32)
+
+
+def _quant(x, inv_scale):
+    return jnp.clip(jnp.round(x * inv_scale), -127, 127).astype(jnp.int8)
+
+
+def _mask_kernel(box_ref, cls_ref, fmap_ref,
+                 w1_ref, w2_ref, w3_ref, w4_ref, wd_ref, wo_ref,
+                 wsc_ref, bias_ref, asc_ref, out_ref,
+                 *, pool: int, cf: int, co: int, nc: int, k: int):
+    """One IMAGE (all K ROIs) per grid step: the per-ROI crops are stacked
+    into one [K·P², ·] activation so every conv is a single large int8
+    matmul — a per-ROI grid ran the same math 10× slower because each tiny
+    step paid fixed kernel overhead for an M=196 matmul.
+
+    box_ref: [1, K, 4] SMEM; cls_ref: [1, K, 1] SMEM; fmap_ref:
+    [1, H, W, Cf] bf16; w*_ref: int8 matmul weights; wo_ref: bf16
+    [4*co, 4*nc]; wsc_ref: [5, max_o] f32 per-channel weight scales
+    (padded); bias_ref: [6, max_o] f32 biases; asc_ref: [1, 8] f32
+    activation scales. out_ref: [1, K, P², 4] f32.
+    """
+    h = fmap_ref.shape[1]
+    w = fmap_ref.shape[2]
+    p2 = pool * pool
+    f = fmap_ref[0]                                              # [H, W, Cf] bf16
+    f_flat = f.reshape(h, w * cf)
+
+    # --- bilinear crops, one [pool, H]x[H, W·Cf] + [pool, W]x... pair per ROI
+    crops = []
+    for ki in range(k):
+        x1 = box_ref[0, ki, 0]
+        y1 = box_ref[0, ki, 1]
+        x2 = box_ref[0, ki, 2]
+        y2 = box_ref[0, ki, 3]
+        wy = _interp_weights(y1, y2, h, pool).astype(jnp.bfloat16)   # [P, H]
+        wx = _interp_weights(x1, x2, w, pool).astype(jnp.bfloat16)   # [P, W]
+        tmp = jax.lax.dot_general(
+            wy, f_flat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # [P, W*Cf]
+        # round intermediates to bf16 exactly like the XLA quant path's
+        # crop_and_resize(dtype=bf16) so both paths quantize identical values
+        tmp = tmp.astype(jnp.bfloat16)
+        tmp = tmp.reshape(pool, w, cf).transpose(1, 0, 2).reshape(w, pool * cf)
+        crop = jax.lax.dot_general(
+            wx, tmp, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # [Pq, P*Cf]
+        crop = crop.astype(jnp.bfloat16).astype(jnp.float32)
+        crops.append(crop.reshape(pool, pool, cf).transpose(1, 0, 2))
+
+    # --- quantize + stack to [K·P², ·] for the conv matmuls
+    x_q = _quant(jnp.concatenate([c.reshape(p2, cf) for c in crops], axis=0),
+                 1.0 / asc_ref[0, 0])                            # [K·P², Cf]
+
+    def conv3x3(x_q, w_ref, li, cin):
+        # per-ROI im2col: static pad + nine static shifted slices (Mosaic
+        # lowers lax.pad but not dynamic_update_slice inside TC kernels);
+        # all reshapes/concats act on the sublane axis only
+        rows = []
+        for ki in range(k):
+            tile = x_q[ki * p2:(ki + 1) * p2, :].reshape(pool, pool, cin)
+            padded = jnp.pad(tile, ((1, 1), (1, 1), (0, 0)))
+            cols = [
+                padded[di:di + pool, dj:dj + pool, :].reshape(p2, cin)
+                for di in range(3) for dj in range(3)
+            ]
+            rows.append(jnp.concatenate(cols, axis=1))           # [P², 9·Cin]
+        patches = jnp.concatenate(rows, axis=0)                  # [K·P², 9·Cin]
+        acc = jax.lax.dot_general(
+            patches, w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)                    # [K·P², co]
+        y = acc.astype(jnp.float32) * (wsc_ref[li, :co] * asc_ref[0, li])
+        y = jnp.maximum(y + bias_ref[li, :co], 0.0)              # bias + relu
+        return _quant(y, 1.0 / asc_ref[0, li + 1])
+
+    x_q = conv3x3(x_q, w1_ref, 0, cf)
+    x_q = conv3x3(x_q, w2_ref, 1, co)
+    x_q = conv3x3(x_q, w3_ref, 2, co)
+    x_q = conv3x3(x_q, w4_ref, 3, co)
+
+    # --- deconv as dense 1x1 to 4·co channels (quant.py reformulation)
+    acc = jax.lax.dot_general(
+        x_q, wd_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)                        # [K·P², 4·co]
+    y = acc.astype(jnp.float32) * (wsc_ref[4, : 4 * co] * asc_ref[0, 4])
+    y = jnp.maximum(y + bias_ref[4, : 4 * co], 0.0)
+    y_q = _quant(y, 1.0 / asc_ref[0, 5])
+
+    # --- block-diagonal class conv (bf16) + sigmoid
+    yb = y_q.astype(jnp.bfloat16) * jnp.bfloat16(asc_ref[0, 5])
+    logits = jax.lax.dot_general(
+        yb, wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                      # [K·P², 4·nc]
+    logits = logits + bias_ref[5, : 4 * nc]
+    probs = jax.nn.sigmoid(logits)
+
+    # --- select each ROI's class, per (dh, dw) block, with a block-expanded
+    # one-hot contraction: onehot4[(blk, c), blk'] = (c == cls) & (blk ==
+    # blk'). Keeps every reshape on the sublane axis — Mosaic cannot split
+    # the lane dimension — and defers the tiny [P², 4] → [2P, 2P]
+    # depth-to-space to XLA outside the kernel.
+    idx = jax.lax.broadcasted_iota(jnp.int32, (4 * nc, 4), 0)
+    blk_col = jax.lax.broadcasted_iota(jnp.int32, (4 * nc, 4), 1)
+    for ki in range(k):
+        cls = cls_ref[0, ki, 0]
+        onehot4 = ((idx % nc == cls) & (idx // nc == blk_col)).astype(
+            jnp.float32)
+        sel = jax.lax.dot_general(
+            probs[ki * p2:(ki + 1) * p2, :], onehot4,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # [P², 4]
+        out_ref[0, ki] = sel
+
+
+def pack_mask_weights(graph, num_classes: int):
+    """Flatten quant.py's mask-layer graph into the kernel's weight arrays.
+
+    Returns dict of arrays; see fused_mask_branch. Requires the graph built
+    by quant.build_layer_graph + calibrate + quantize_weights.
+    """
+    layers = graph["mask"]
+    assert [l.name for l in layers] == [
+        "mask_conv1", "mask_conv2", "mask_conv3", "mask_conv4",
+        "mask_deconv", "mask_out"]
+    convs = layers[:4]
+    deconv = layers[4]
+    out = layers[5]
+    cf = int(convs[0].kernel.shape[2])   # crop (fmap) channels
+    co = int(convs[0].kernel.shape[3])   # conv features
+    max_o = 4 * co
+
+    ws = [np.asarray(convs[0].w_q).reshape(9 * cf, co)]  # (di,dj,ci) rows
+    for l in convs[1:]:
+        ws.append(np.asarray(l.w_q).reshape(9 * co, co))
+    wd = np.asarray(deconv.w_q).reshape(co, 4 * co)
+    wo = np.asarray(out.kernel, np.float32).reshape(4 * co, 4 * num_classes)
+
+    wsc = np.zeros((5, max_o), np.float32)
+    bias = np.zeros((6, max_o), np.float32)
+    for i, l in enumerate(convs):
+        wsc[i, :co] = l.w_scale
+        bias[i, :co] = l.bias
+    wsc[4, : 4 * co] = deconv.w_scale
+    bias[4, : 4 * co] = deconv.bias
+    bias[5, : 4 * num_classes] = out.bias
+
+    asc = np.zeros((1, 8), np.float32)
+    for i, l in enumerate(convs):
+        asc[0, i] = l.a_scale
+    asc[0, 4] = deconv.a_scale
+    asc[0, 5] = out.a_scale
+    return {
+        "w1": ws[0].astype(np.int8), "w2": ws[1].astype(np.int8),
+        "w3": ws[2].astype(np.int8), "w4": ws[3].astype(np.int8),
+        "wd": wd.astype(np.int8), "wo": jnp.asarray(wo, jnp.bfloat16),
+        "wsc": wsc, "bias": bias, "asc": asc,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("pool", "num_classes",
+                                              "interpret"))
+def fused_mask_branch(fmap, boxes, classes, weights, pool: int = 14,
+                      num_classes: int = 2, interpret: bool = False):
+    """Fused per-ROI mask branch.
+
+    fmap: [B, H, W, Cf] float (neck output); boxes: [B, K, 4] normalized
+    (x1, y1, x2, y2); classes: [B, K] int32; weights: pack_mask_weights dict.
+    Returns [B, K, 2·pool, 2·pool] f32 sigmoid masks of each ROI's class.
+    """
+    b, h, w, cf = fmap.shape
+    k = boxes.shape[1]
+    co = weights["w1"].shape[-1]
+    side = 2 * pool
+
+    kernel = functools.partial(_mask_kernel, pool=pool, cf=cf, co=co,
+                               nc=num_classes, k=k)
+
+    sel4 = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, k, 4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, k, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, w, cf), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * cf, co), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * co, co), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * co, co), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * co, co), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((co, 4 * co), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * co, 4 * num_classes), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, 4 * co), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, 4 * co), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, k, pool * pool, 4),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, k, pool * pool, 4), jnp.float32),
+        interpret=interpret,
+    )(boxes, classes.astype(jnp.int32)[..., None], fmap.astype(jnp.bfloat16),
+      weights["w1"], weights["w2"], weights["w3"], weights["w4"],
+      weights["wd"], weights["wo"], weights["wsc"], weights["bias"],
+      weights["asc"])
+    # depth-to-space on the tiny [B, K, P², 4] result (XLA, outside kernel)
+    m = sel4.reshape(b, k, pool, pool, 2, 2).transpose(0, 1, 2, 4, 3, 5)
+    return m.reshape(b, k, side, side)

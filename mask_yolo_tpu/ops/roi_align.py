@@ -37,21 +37,23 @@ def interp_matrix(lo, hi, in_size: int, out_size: int, dtype=jnp.float32):
     Returns W: [..., out_size, in_size] where W[..., i, :] holds the two
     bilinear weights of sample point i (all-zero if out of range).
     """
-    lo = lo.astype(dtype)
-    hi = hi.astype(dtype)
+    # weights are always computed in f32 — sample coordinates are too
+    # precision-sensitive for bf16 — and only the result is cast to `dtype`
+    lo = lo.astype(jnp.float32)
+    hi = hi.astype(jnp.float32)
     n = in_size - 1
     if out_size > 1:
-        steps = jnp.arange(out_size, dtype=dtype) / (out_size - 1)  # [P]
+        steps = jnp.arange(out_size, dtype=jnp.float32) / (out_size - 1)  # [P]
         coords = lo[..., None] * n + steps * ((hi - lo)[..., None] * n)
     else:
         coords = 0.5 * (lo + hi)[..., None] * n
 
-    grid = jnp.arange(in_size, dtype=dtype)  # [in_size]
+    grid = jnp.arange(in_size, dtype=jnp.float32)  # [in_size]
     # tent kernel: weight of input index h for sample coordinate c
     w = jnp.maximum(0.0, 1.0 - jnp.abs(coords[..., None] - grid))
     # out-of-range samples contribute 0 (TF extrapolation_value)
     in_range = (coords >= 0.0) & (coords <= n)
-    return w * in_range[..., None].astype(dtype)
+    return (w * in_range[..., None].astype(jnp.float32)).astype(dtype)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))

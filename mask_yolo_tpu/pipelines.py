@@ -204,9 +204,14 @@ def detect_outputs(net, variables, images, config, score_threshold=None):
 
 
 def detect_from_callables(trunk, mask_branch, images, config,
-                          score_threshold=None):
+                          score_threshold=None, fused_mask=None):
     """detect_outputs with pluggable trunk/mask executors — shared by the
-    flax f32/bf16 path above and the int8 quantized path (quant.py)."""
+    flax f32/bf16 path above and the int8 quantized path (quant.py).
+
+    fused_mask: optional callable (rois, fmap, classes) -> [B, K, mh, mw]
+    returning each ROI's already-class-selected sigmoid mask (the fused
+    Pallas kernel, ops/pallas_mask.py); when given it replaces the
+    mask_branch + one-hot class-select pair."""
     if score_threshold is None:
         score_threshold = config.OBJ_THRESHOLD
     k = config.DETECTION_MAX_INSTANCES
@@ -233,10 +238,13 @@ def detect_from_callables(trunk, mask_branch, images, config,
     valid = valid & keep
 
     # mask branch on the K survivors only (equivalence note in module docstring)
-    pred_masks = mask_branch(top_boxes, fmap)  # [B, K, mh, mw, C]
-    onehot = jax.nn.one_hot(top_classes, config.NUM_CLASSES,
-                            dtype=pred_masks.dtype)
-    sel_masks = jnp.einsum("bkhwc,bkc->bkhw", pred_masks, onehot)
+    if fused_mask is not None:
+        sel_masks = fused_mask(top_boxes, fmap, top_classes)  # [B, K, mh, mw]
+    else:
+        pred_masks = mask_branch(top_boxes, fmap)  # [B, K, mh, mw, C]
+        onehot = jax.nn.one_hot(top_classes, config.NUM_CLASSES,
+                                dtype=pred_masks.dtype)
+        sel_masks = jnp.einsum("bkhwc,bkc->bkhw", pred_masks, onehot)
 
     # paste into full-image canvas + threshold 0.5 (unmold_mask equivalent)
     full = jax.vmap(lambda m, bx: paste_masks(m, bx, (h, w)))(sel_masks, top_boxes)

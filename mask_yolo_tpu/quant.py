@@ -368,6 +368,7 @@ class QuantizedDetector:
         self.graph = graph
         self.config = config
         self._detect = None
+        self._detect_is_pallas = None
 
     @classmethod
     def from_variables(cls, variables, config, calib_images):
@@ -388,17 +389,37 @@ class QuantizedDetector:
                              self.config.MASK_POOL_SIZE,
                              self.config.NUM_CLASSES, quant)
 
-    def detect_outputs(self, images):
-        """Same contract as pipelines.detect_outputs, int8 conv stack."""
-        if self._detect is None:
+    def detect_outputs(self, images, use_pallas: bool | None = None,
+                       interpret: bool = False):
+        """Same contract as pipelines.detect_outputs, int8 conv stack.
+
+        use_pallas: run the mask branch as the fused per-image Pallas kernel
+        (ops/pallas_mask.py). Default off — measured slower than the XLA
+        int8 conv path at this operating point (see pallas_mask.py)."""
+        if use_pallas is None:
+            use_pallas = False
+        if self._detect is None or use_pallas != self._detect_is_pallas:
             from . import pipelines
 
             config = self.config
+            fused = None
+            if use_pallas:
+                from .ops.pallas_mask import fused_mask_branch, pack_mask_weights
+
+                weights = pack_mask_weights(self.graph, config.NUM_CLASSES)
+
+                def fused(rois, fmap, classes):
+                    return fused_mask_branch(
+                        fmap, rois, classes, weights,
+                        pool=config.MASK_POOL_SIZE,
+                        num_classes=config.NUM_CLASSES, interpret=interpret)
 
             @jax.jit
             def detect(images):
                 return pipelines.detect_from_callables(
-                    self.trunk, self.mask_branch, images, config)
+                    self.trunk, self.mask_branch, images, config,
+                    fused_mask=fused)
 
             self._detect = detect
+            self._detect_is_pallas = use_pallas
         return self._detect(images)

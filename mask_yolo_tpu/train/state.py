@@ -25,6 +25,7 @@ from typing import Any
 
 import flax.struct
 import jax
+import jax.numpy as jnp
 import optax
 
 
@@ -67,6 +68,30 @@ def trainable_labels(params, layer_regex: str):
     return jax.tree_util.tree_map_with_path(label, params)
 
 
+def zero_nonfinite():
+    """Gradient guard: replace non-finite gradient entries with 0.
+
+    One inf/nan gradient (e.g. a pathological batch) would otherwise poison
+    Adam's moments permanently — the failure mode that killed a 40-epoch
+    Shapes run at epoch 35. Skipping the bad contribution instead lets
+    training continue; combined with the loss-side exp clamp this makes the
+    reference's notoriously unstable YOLOv2 loss safe to run long.
+    """
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        updates = jax.tree.map(
+            lambda g: jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g)),
+            updates)
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(learning_rate: float, config, params=None,
                    layer_regex: str = ".*", frozen_prefixes: tuple = ()):
     """Adam + clipping + optional freezing.
@@ -76,7 +101,7 @@ def make_optimizer(learning_rate: float, config, params=None,
     whole pretrained YOLO branch).
     """
     clip = float(getattr(config, "GRADIENT_CLIP_NORM", 0) or 0)
-    chain = []
+    chain = [zero_nonfinite()]
     if clip > 0:
         chain.append(optax.clip_by_global_norm(clip))
     chain.append(optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8))

@@ -38,8 +38,13 @@ def compute_overlaps(boxes1: np.ndarray, boxes2: np.ndarray) -> np.ndarray:
 
 def compute_overlaps_masks(masks1: np.ndarray, masks2: np.ndarray) -> np.ndarray:
     """IoU matrix between two mask sets: [H, W, N1] x [H, W, N2] -> [N1, N2]."""
-    m1 = np.asarray(masks1).reshape(-1, masks1.shape[-1]).astype(np.float64)
-    m2 = np.asarray(masks2).reshape(-1, masks2.shape[-1]).astype(np.float64)
+    masks1 = np.asarray(masks1)
+    masks2 = np.asarray(masks2)
+    n1, n2 = masks1.shape[-1], masks2.shape[-1]
+    if n1 == 0 or n2 == 0:
+        return np.zeros((n1, n2))
+    m1 = masks1.reshape(-1, n1).astype(np.float64)
+    m2 = masks2.reshape(-1, n2).astype(np.float64)
     area1 = m1.sum(axis=0)
     area2 = m2.sum(axis=0)
     inter = m1.T @ m2

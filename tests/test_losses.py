@@ -152,3 +152,36 @@ def test_mask_loss_padding_invariance(rng):
     padded = float(mask_loss(jnp.asarray(target2), jnp.asarray(classes2),
                              jnp.asarray(pred2)))
     np.testing.assert_allclose(base, padded, rtol=1e-6)
+
+
+def test_loss_finite_under_extreme_predictions(tiny_config):
+    """exp(twh) clamp: even pathological raw grids give a finite loss."""
+    import jax.numpy as jnp
+
+    from mask_yolo_tpu.losses import yolo_loss
+
+    cfg = tiny_config
+    gh, gw, nb, nc = cfg.GRID_H, cfg.GRID_W, cfg.N_BOX, cfg.NUM_CLASSES
+    y_true = np.zeros((1, gh, gw, nb, 5 + nc), np.float32)
+    y_true[0, 0, 0, 0] = [0.5, 0.5, 1.0, 1.0, 1.0] + [1.0] + [0.0] * (nc - 1)
+    true_boxes = np.zeros((1, 1, 1, 1, cfg.TRUE_BOX_BUFFER, 4), np.float32)
+    y_pred = np.full((1, gh, gw, nb, 5 + nc), 500.0, np.float32)  # exp(500)!
+    loss, metrics = yolo_loss(jnp.asarray(y_true), jnp.asarray(y_pred),
+                              jnp.asarray(true_boxes), cfg, seen=1e9)
+    assert np.isfinite(float(loss))
+
+
+def test_optimizer_zeroes_nonfinite_grads(tiny_config):
+    import jax.numpy as jnp
+    import optax
+
+    from mask_yolo_tpu.train.state import make_optimizer
+
+    tx = make_optimizer(1e-3, tiny_config)
+    params = {"w": jnp.ones(3)}
+    state = tx.init(params)
+    grads = {"w": jnp.asarray([1.0, np.nan, np.inf])}
+    updates, _ = tx.update(grads, state, params)
+    u = np.asarray(updates["w"])
+    assert np.isfinite(u).all()
+    assert u[1] == 0.0 and u[2] == 0.0  # nan/inf grads contribute nothing

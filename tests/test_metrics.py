@@ -134,3 +134,15 @@ def test_mold_unmold_image_roundtrip(tiny_config):
     assert molded.dtype == np.float32
     assert np.allclose(molded + tiny_config.MEAN_PIXEL, img, atol=1e-4)
     assert np.array_equal(unmold_image(molded, tiny_config), img)
+
+
+def test_mask_overlaps_zero_instances():
+    m0 = np.zeros((8, 8, 0), bool)
+    m2 = np.ones((8, 8, 2), bool)
+    assert metrics.compute_overlaps_masks(m0, m2).shape == (0, 2)
+    assert metrics.compute_overlaps_masks(m2, m0).shape == (2, 0)
+    # compute_ap with masks and zero predictions
+    ap, _, _, _ = metrics.compute_ap(
+        np.array([[0, 0, 4, 4]]), np.array([1]), m2[:, :, :1],
+        np.zeros((0, 4)), np.zeros(0), np.zeros(0), m0)
+    assert ap == 0.0

@@ -71,7 +71,10 @@ def test_yolo_mode_train_step(setup):
     for _ in range(10):
         state, metrics = step(state, batch)
         losses.append(float(metrics["loss"]))
-    assert losses[-1] < losses[0]
+    # the wh-loss oscillates under single-batch Adam overfit (exp
+    # parametrization), so compare a robust statistic, not the last step
+    assert np.median(losses[5:]) < losses[0], losses
+    assert min(losses[5:]) < 0.5 * losses[0], losses
 
 
 def test_layer_freezing(setup):
