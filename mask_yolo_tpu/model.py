@@ -123,7 +123,8 @@ class MaskYOLO:
 
     def train(self, train_dataset, val_dataset, learning_rate, epochs,
               layers="all", augmentation=None, custom_callbacks=None,
-              no_augmentation_sources=None, verbose=True, profile_dir=None):
+              no_augmentation_sources=None, verbose=True, profile_dir=None,
+              resume_from=None):
         """Train. Same signature as the reference (model.py:943).
 
         custom_callbacks: list of callables invoked as
@@ -131,6 +132,10 @@ class MaskYOLO:
         stand-in for Keras callbacks (reference model.py:1030-1034).
         profile_dir: capture a jax.profiler trace of a few steps of the
         first epoch into this directory.
+        resume_from: path of a checkpoint written by a previous train();
+        restores params, BN stats, optimizer moments AND the epoch counter,
+        then continues to `epochs` (the resume the reference left manual —
+        initial_epoch commented out at model.py:1050).
         """
         layer_regex = {"all": ".*"}.get(layers, layers)
 
@@ -152,6 +157,15 @@ class MaskYOLO:
             replicate_tree(self.params, mesh),
             replicate_tree(self.batch_stats, mesh),
             self._tx)
+        if resume_from is not None:
+            state, self.epoch = state_lib.resume_train_state(resume_from, state)
+            state = state_lib.TrainState(
+                params=replicate_tree(state.params, mesh),
+                batch_stats=replicate_tree(state.batch_stats, mesh),
+                opt_state=replicate_tree(state.opt_state, mesh),
+                step=state.step)
+            if verbose:
+                print(f"Resumed from {resume_from} at epoch {self.epoch}")
         eval_step = trainer_lib.make_eval_step(self.net, self.config, mode)
 
         os.makedirs(self.model_dir, exist_ok=True)

@@ -87,7 +87,15 @@ def training_loss(net, variables, batch, config, seen, train: bool = True,
     (pred_masks,), updates2 = _apply_mask(net, variables, rois, fmap, bn_train,
                                           mutable)
     if updates2:
-        updates = updates2  # same collection; later write wins
+        # each apply returns the FULL batch_stats collection with only its
+        # own branch updated (the other subtrees are the stale inputs), so
+        # merge per-module: trunk modules from the trunk apply, 'mask' from
+        # the mask apply. Overwriting wholesale kept trunk BN running stats
+        # at their init values forever, which saturated the eval-mode
+        # (use_running_average) forward into input-independent constants.
+        merged = dict(updates["batch_stats"])
+        merged["mask"] = updates2["batch_stats"]["mask"]
+        updates = {"batch_stats": merged}
 
     y_loss, y_metrics = yolo_loss_fn(batch["yolo_target"], grid,
                                      batch["true_boxes"], config, seen)

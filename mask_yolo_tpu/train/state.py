@@ -139,6 +139,13 @@ def create_train_state(params, batch_stats, tx) -> TrainState:
 
 
 def save_checkpoint(path: str, state: TrainState, epoch: int = 0):
+    """Save params + batch stats + optimizer moments + step/epoch (orbax).
+
+    Including opt_state makes checkpoints truly resumable — the reference
+    saves weights only (ModelCheckpoint(save_weights_only=True),
+    model.py:1026) and resume was manual (initial_epoch commented out,
+    model.py:1050).
+    """
     import orbax.checkpoint as ocp
     import os
 
@@ -146,6 +153,7 @@ def save_checkpoint(path: str, state: TrainState, epoch: int = 0):
     ckpt = {
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
         "step": int(state.step),
         "epoch": int(epoch),
     }
@@ -153,12 +161,38 @@ def save_checkpoint(path: str, state: TrainState, epoch: int = 0):
     ckptr.save(path, ckpt, force=True)
 
 
-def load_checkpoint(path: str) -> dict:
+def load_checkpoint(path: str, template=None) -> dict:
+    """Restore a checkpoint; pass `template` (a matching pytree, e.g. a dict
+    with a freshly-initialized TrainState's fields) to restore structured
+    leaves like optax NamedTuple states into their original types."""
     import orbax.checkpoint as ocp
     import os
 
     ckptr = ocp.PyTreeCheckpointer()
+    if template is not None:
+        return ckptr.restore(os.path.abspath(path), item=template)
     return ckptr.restore(os.path.abspath(path))
+
+
+def resume_train_state(path: str, fresh_state: TrainState):
+    """Rebuild a TrainState (+ start epoch) from a checkpoint written by
+    save_checkpoint, restoring optimizer moments into the fresh state's
+    structure."""
+    template = {
+        "params": jax.device_get(fresh_state.params),
+        "batch_stats": jax.device_get(fresh_state.batch_stats),
+        "opt_state": jax.device_get(fresh_state.opt_state),
+        "step": 0,
+        "epoch": 0,
+    }
+    ckpt = load_checkpoint(path, template=template)
+    state = TrainState(
+        params=ckpt["params"],
+        batch_stats=ckpt["batch_stats"],
+        opt_state=ckpt["opt_state"],
+        step=jnp.asarray(ckpt["step"], jnp.int32),
+    )
+    return state, int(ckpt["epoch"])
 
 
 def merge_params(current, loaded, by_name: bool = False, exclude=None):

@@ -111,3 +111,34 @@ def test_trainable_labels_regex(setup):
     for path, lbl in flat:
         top = str(getattr(path[0], "key", path[0]))
         assert lbl == ("train" if top.startswith("mask") else "freeze")
+
+
+def test_trunk_bn_stats_update(setup):
+    """Regression: trunk BN running stats must move off init during training
+    (a stale-merge bug once froze them, saturating eval-mode inference into
+    input-independent constants)."""
+    cfg, net, variables, gen = setup
+    assert cfg.TRAIN_BN
+    tx = state_lib.make_optimizer(1e-3, cfg)
+    step = trainer_lib.make_train_step(net, cfg, tx, mode="training")
+    state = state_lib.create_train_state(
+        fresh(variables["params"]), fresh(variables.get("batch_stats", {})), tx)
+    batch = {k: jnp.asarray(v) for k, v in gen[0].items()}
+    for _ in range(3):
+        state, _ = step(state, batch)
+
+    def leaves(tree):
+        return jax.tree_util.tree_leaves_with_path(tree)
+
+    init_stats = variables["batch_stats"]
+    moved_backbone = moved_mask = False
+    for (path, new), (_, old) in zip(leaves(state.batch_stats),
+                                     leaves(init_stats)):
+        top = str(getattr(path[0], "key", path[0]))
+        changed = not np.allclose(np.asarray(new), np.asarray(old))
+        if top == "backbone" and changed:
+            moved_backbone = True
+        if top == "mask" and changed:
+            moved_mask = True
+    assert moved_backbone, "backbone BN running stats frozen at init"
+    assert moved_mask, "mask BN running stats frozen at init"
