@@ -103,6 +103,18 @@ def expand_mask(bbox, mini_mask, image_shape) -> np.ndarray:
     return full
 
 
+def compute_backbone_shapes(config, image_shape=None) -> np.ndarray:
+    """[h, w] of the backbone's output feature map (reference
+    myolo_utils.py:142-151, which asserts mobilenet and divides by
+    BACKBONE_STRIDES)."""
+    if image_shape is None:
+        image_shape = config.IMAGE_SHAPE
+    stride = config.BACKBONE_STRIDES[0] if isinstance(
+        config.BACKBONE_STRIDES, (list, tuple)) else config.BACKBONE_STRIDES
+    return np.array([int(np.ceil(image_shape[0] / stride)),
+                     int(np.ceil(image_shape[1] / stride))])
+
+
 def mold_image(images, config) -> np.ndarray:
     """RGB → float32 with the mean pixel subtracted (reference
     myolo_utils.py:153-158)."""
