@@ -103,6 +103,40 @@ def crop_and_resize_per_roi(images, boxes, crop_size, dtype=jnp.float32):
     return jnp.einsum("rpw,rqw->rpq", tmp, wx, precision=prec)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def multilevel_crop_and_resize(features, boxes, crop_size,
+                               image_hw=(224, 224), canonical_scale=224.0,
+                               canonical_level=2):
+    """True multi-level (FPN) ROIAlign — the generalization the reference
+    carries but clamps to one level (PyramidROIAlign, model.py:350-354
+    constrains roi_level to 0; SURVEY.md §7 step 7 restores it).
+
+    features: tuple of pyramid maps ordered fine→coarse (P2..P5-style),
+    each [B, Hi, Wi, C]. boxes: [B, R, 4] normalized (x1, y1, x2, y2).
+    image_hw: static pixel size of the input image (normalized box sides ×
+    this give pixel extents). Level assignment is FPN eq. 1: an ROI of
+    `canonical_scale` pixels maps to features[canonical_level], and each
+    ×2 in scale moves one level coarser (reference model.py:350-354, which
+    writes it in normalized coordinates).
+
+    TPU-static implementation: crop from EVERY level (the [B, R, ph, pw, C]
+    crops are tiny) and one-hot combine — no data-dependent gathers, fully
+    differentiable w.r.t. every feature map. Returns [B, R, ph, pw, C].
+    """
+    n_levels = len(features)
+    h_px, w_px = image_hw
+    bw = jnp.maximum(boxes[..., 2] - boxes[..., 0], 1e-8) * w_px
+    bh = jnp.maximum(boxes[..., 3] - boxes[..., 1], 1e-8) * h_px
+    level = canonical_level + jnp.round(
+        jnp.log2(jnp.sqrt(bw * bh) / canonical_scale))
+    level = jnp.clip(level, 0, n_levels - 1).astype(jnp.int32)  # [B, R]
+
+    crops = jnp.stack(
+        [crop_and_resize(f, boxes, crop_size) for f in features], axis=0)
+    onehot = jax.nn.one_hot(level, n_levels, dtype=crops.dtype)  # [B, R, L]
+    return jnp.einsum("lbrpqc,brl->brpqc", crops, onehot)
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def paste_masks(masks, boxes, image_size, dtype=jnp.float32):
     """Inverse of crop_and_resize: paste per-ROI masks back to image canvas.

@@ -30,8 +30,7 @@ mobilenet_graph + yolo_branch_graph + feature_map + build_mask_graph
 
 from __future__ import annotations
 
-import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any
 
 import jax

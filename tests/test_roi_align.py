@@ -94,3 +94,37 @@ def test_paste_masks_against_host_unmold(rng):
     inter = (full_dev & full_host).sum()
     union = (full_dev | full_host).sum()
     assert inter / max(union, 1) > 0.9, inter / max(union, 1)
+
+
+def test_multilevel_crop_level_assignment(rng):
+    """FPN eq.1: small ROIs read the fine level, large ROIs the coarse one;
+    each crop matches a single-level crop_and_resize of its assigned map."""
+    from mask_yolo_tpu.ops.roi_align import multilevel_crop_and_resize
+
+    b, c = 2, 8
+    # two-level pyramid: fine 32², coarse 16² — distinct constant contents
+    fine = jnp.asarray(np.full((b, 32, 32, c), 1.0, np.float32))
+    coarse = jnp.asarray(np.full((b, 16, 16, c), 2.0, np.float32))
+    boxes = jnp.asarray(np.asarray([
+        # 56-px ROI (0.125×448) → level 2 + round(log2(56/224)) = 0
+        [[0.1, 0.1, 0.225, 0.225],
+         # 448-px ROI → level 2 + 1 = 3 → clipped to 1 (coarse)
+         [0.0, 0.0, 1.0, 1.0]]] * b, dtype=np.float32).reshape(b, 2, 4))
+    out = multilevel_crop_and_resize((fine, coarse), boxes, (4, 4),
+                                     image_hw=(448, 448))
+    out = np.asarray(out)
+    assert np.allclose(out[:, 0], 1.0)   # small ROI ← fine level
+    assert np.allclose(out[:, 1], 2.0)   # large ROI ← coarse level
+
+
+def test_multilevel_single_level_equals_plain(rng):
+    """With one level, multilevel == plain crop_and_resize exactly."""
+    from mask_yolo_tpu.ops.roi_align import (crop_and_resize,
+                                             multilevel_crop_and_resize)
+
+    f = jnp.asarray(rng.rand(1, 16, 16, 4).astype(np.float32))
+    boxes = jnp.asarray(rng.rand(1, 5, 2).astype(np.float32))
+    boxes = jnp.concatenate([boxes * 0.4, boxes * 0.4 + 0.5], axis=-1)
+    a = multilevel_crop_and_resize((f,), boxes, (6, 6))
+    c = crop_and_resize(f, boxes, (6, 6))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-6)

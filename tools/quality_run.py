@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out", default="./quality_run")
+    ap.add_argument("--compute-dtype", default=None,
+                    choices=["float32", "bfloat16"],
+                    help="override Config.COMPUTE_DTYPE for the run")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--num-overlays", type=int, default=4)
     ap.add_argument("--score-threshold", type=float, default=0.35)
@@ -40,6 +43,8 @@ def main():
     class RunConfig(ShapesConfig):
         BATCH_SIZE = args.batch_size
 
+    if args.compute_dtype:
+        RunConfig.COMPUTE_DTYPE = args.compute_dtype
     config = RunConfig()
     os.makedirs(args.out, exist_ok=True)
 
