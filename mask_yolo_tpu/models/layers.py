@@ -54,7 +54,7 @@ class ConvBN(nn.Module):
             use_running_average=not train,
             momentum=0.99,
             epsilon=1e-3,
-            dtype=self.dtype,
+            dtype=jnp.float32,  # BN stats in f32 (bf16 batch stats corrupt the running averages)
             param_dtype=jnp.float32,
             axis_name=self.axis_name if train else None,
             name="bn",
@@ -96,7 +96,7 @@ class DepthwiseSeparable(nn.Module):
             use_running_average=not train,
             momentum=0.99,
             epsilon=1e-3,
-            dtype=self.dtype,
+            dtype=jnp.float32,  # BN stats in f32 (bf16 batch stats corrupt the running averages)
             param_dtype=jnp.float32,
             axis_name=self.axis_name if train else None,
             name="conv_dw_bn",
@@ -116,7 +116,7 @@ class DepthwiseSeparable(nn.Module):
             use_running_average=not train,
             momentum=0.99,
             epsilon=1e-3,
-            dtype=self.dtype,
+            dtype=jnp.float32,  # BN stats in f32 (bf16 batch stats corrupt the running averages)
             param_dtype=jnp.float32,
             axis_name=self.axis_name if train else None,
             name="conv_pw_bn",

@@ -14,7 +14,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.roi_align import crop_and_resize
+from ..ops.roi_align import crop_and_resize, multilevel_crop_and_resize
 
 
 class MaskHead(nn.Module):
@@ -26,14 +26,23 @@ class MaskHead(nn.Module):
 
     @nn.compact
     def __call__(self, rois, feature_map, train: bool = False):
-        """rois: [B, R, 4] normalized (x1,y1,x2,y2); feature_map: [B, h, w, C].
+        """rois: [B, R, 4] normalized (x1,y1,x2,y2); feature_map: [B, h, w, C]
+        — or a tuple of FPN pyramid maps (fine→coarse), in which case each
+        ROI is pooled from its FPN-assigned level (true multi-level
+        ROIAlign, the path the reference clamps at model.py:350-354).
 
         Returns [B, R, 2*pool, 2*pool, num_classes] sigmoid masks
         (28x28 for pool_size=14, matching MASK_SHAPE).
         """
         b, r = rois.shape[:2]
-        x = crop_and_resize(feature_map, rois, (self.pool_size, self.pool_size),
-                            dtype=self.dtype)
+        if isinstance(feature_map, (tuple, list)):
+            x = multilevel_crop_and_resize(
+                tuple(feature_map), rois, (self.pool_size, self.pool_size))
+            x = x.astype(self.dtype)
+        else:
+            x = crop_and_resize(feature_map, rois,
+                                (self.pool_size, self.pool_size),
+                                dtype=self.dtype)
         x = x.reshape(b * r, self.pool_size, self.pool_size, x.shape[-1])
 
         for i in range(1, 5):  # four 3x3 conv+BN+relu (model.py:688-709)
@@ -41,7 +50,10 @@ class MaskHead(nn.Module):
                         dtype=self.dtype, param_dtype=jnp.float32,
                         name=f"mask_conv{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                             epsilon=1e-3, dtype=self.dtype, param_dtype=jnp.float32,
+                             # BN in f32: bf16 batch stats corrupt the
+                             # running averages
+                             epsilon=1e-3, dtype=jnp.float32,
+                             param_dtype=jnp.float32,
                              axis_name=self.axis_name if train else None,
                              name=f"mask_bn{i}")(x)
             x = nn.relu(x)

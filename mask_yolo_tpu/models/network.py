@@ -61,6 +61,16 @@ class MaskYoloNet(nn.Module):
         grid = self.yolo(c4, train)
         return grid, fmap
 
+    def trunk_pyramid(self, image, train: bool = False):
+        """FPN variant of trunk: → (yolo_grid, (P3, P4, P5)). The pyramid
+        feeds the mask branch through true multi-level ROIAlign; requires
+        backbone='resnet50_fpn'."""
+        if self.backbone != "resnet50_fpn":
+            raise ValueError("trunk_pyramid requires the resnet50_fpn backbone")
+        c4, pyramid = self.backbone_net(image, train, return_pyramid=True)
+        grid = self.yolo(c4, train)
+        return grid, pyramid
+
     def mask_branch(self, rois, fmap, train: bool = False):
         """rois [B, R, 4] normalized → [B, R, 28, 28, C] sigmoid masks."""
         return self.mask(rois, fmap, train)

@@ -25,8 +25,10 @@ class Bottleneck(nn.Module):
         dt = self.dtype
 
         def bn(name):
+            # BN in f32: bf16 batch stats corrupt the running averages
             return nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                                epsilon=1e-3, dtype=dt, param_dtype=jnp.float32,
+                                epsilon=1e-3, dtype=jnp.float32,
+                                param_dtype=jnp.float32,
                                 axis_name=self.axis_name if train else None,
                                 name=name)
 
@@ -57,15 +59,19 @@ class ResNetFPNBackbone(nn.Module):
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_pyramid: bool = False):
+        """return_pyramid: also return the (P3, P4, P5) maps (stride 8/16/32,
+        `pyramid_size` channels each) for true multi-level ROIAlign
+        (ops/roi_align.multilevel_crop_and_resize)."""
         dt = self.dtype
         blocks = {"c2": (3, 64), "c3": (4, 128), "c4": (6, 256), "c5": (3, 512)}
 
         # stem: 7x7/s2 + maxpool/s2 -> stride 4
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
                     dtype=dt, param_dtype=jnp.float32, name="stem_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.99, epsilon=1e-3,
-                         dtype=dt, param_dtype=jnp.float32,
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3, dtype=jnp.float32,
+                         param_dtype=jnp.float32,
                          axis_name=self.axis_name if train else None,
                          name="stem_bn")(x)
         x = nn.relu(x)
@@ -93,7 +99,10 @@ class ResNetFPNBackbone(nn.Module):
         # project to the backbone output contract (512ch at stride 8)
         out = nn.Conv(self.out_features, (1, 1), dtype=dt, param_dtype=jnp.float32,
                       name="out_proj")(p3)
-        return nn.relu(out)
+        out = nn.relu(out)
+        if return_pyramid:
+            return out, (p3, p4, p5)
+        return out
 
 
 def _upsample2x(x):

@@ -71,3 +71,36 @@ def test_resnet_fpn_train_step(rng):
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+
+def test_fpn_pyramid_mask_branch(rng):
+    """trunk_pyramid returns P3/P4/P5 and the mask branch pools each ROI
+    from its FPN-assigned level (multi-level ROIAlign path)."""
+    cfg = _cfg()
+    from mask_yolo_tpu.models.network import MaskYoloNet
+
+    net = MaskYoloNet(num_classes=cfg.NUM_CLASSES, n_box=cfg.N_BOX,
+                      top_feature_map_depth=cfg.TOP_FEATURE_MAP_DEPTH,
+                      mask_pool_size=cfg.MASK_POOL_SIZE, backbone=cfg.BACKBONE)
+    img = jnp.asarray(rng.rand(2, *cfg.IMAGE_SHAPE).astype(np.float32))
+    variables = jax.jit(lambda: net.init(
+        jax.random.PRNGKey(0), img, jnp.zeros((2, 4, 4), jnp.float32),
+        train=False))()
+
+    grid, pyr = jax.jit(
+        lambda v, im: net.apply(v, im, train=False, method=net.trunk_pyramid))(
+        variables, img)
+    h, w = cfg.IMAGE_SHAPE[:2]
+    assert len(pyr) == 3
+    assert pyr[0].shape == (2, h // 8, w // 8, cfg.TOP_FEATURE_MAP_DEPTH)
+    assert pyr[1].shape == (2, h // 16, w // 16, cfg.TOP_FEATURE_MAP_DEPTH)
+    assert pyr[2].shape == (2, h // 32, w // 32, cfg.TOP_FEATURE_MAP_DEPTH)
+
+    rois = jnp.asarray(np.asarray(
+        [[[0.1, 0.1, 0.3, 0.3], [0.0, 0.0, 1.0, 1.0]]] * 2, np.float32))
+    masks = jax.jit(lambda v, r, p: net.apply(
+        v, r, tuple(p), train=False, method=net.mask_branch))(
+        variables, rois, pyr)
+    s = 2 * cfg.MASK_POOL_SIZE
+    assert masks.shape == (2, 2, s, s, cfg.NUM_CLASSES)
+    assert np.isfinite(np.asarray(masks)).all()
