@@ -192,6 +192,12 @@ class MaskYOLO:
                 "saved_model_" + datetime.datetime.now().strftime("%b%d-%H-%M"))
             state_lib.save_checkpoint(ckpt_path, state, epoch=epoch + 1)
             self.epoch = epoch + 1
+            # per-epoch scalar history (the observability the reference got
+            # from its TensorBoard callback, model.py:1024-1027)
+            import json
+            with open(os.path.join(self.model_dir, "history.jsonl"), "a") as f:
+                f.write(json.dumps({"epoch": epoch + 1, "val_loss": val_loss,
+                                    **metrics}) + "\n")
             for cb in custom_callbacks or ():
                 cb(epoch, metrics, val_loss, state)
 
