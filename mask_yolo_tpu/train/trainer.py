@@ -61,20 +61,30 @@ def make_eval_step(net, config, mode: str = "training"):
 
 
 def run_epoch(train_step, state, generator, mesh=None, log_every: int = 10,
-              verbose: bool = True, profile_dir=None, profile_steps=(2, 5)):
+              verbose: bool = True, profile_dir=None, profile_steps=(2, 5),
+              prefetch: int = 2):
     """One pass over the generator. Returns (state, last_metrics).
 
     profile_dir: if set, capture a jax.profiler trace (viewable in
     TensorBoard/XProf) covering steps [profile_steps[0], profile_steps[1]) —
     the observability hook the reference only approximates with a TensorBoard
     graph callback (model.py:1024-1027; SURVEY.md §5 tracing row).
+    prefetch: stage this many batches ahead on device from a background
+    thread (0 disables) so host batch prep + transfer overlap compute.
     """
-    from ..parallel.mesh import shard_batch
+    from ..data.prefetch import DevicePrefetcher
+    from ..parallel.mesh import batch_sharding, shard_batch
 
     metrics = {}
     t0 = time.perf_counter()
     tracing = False
-    for i in range(len(generator)):
+    if prefetch:
+        sharding = batch_sharding(mesh) if mesh is not None else None
+        batches = iter(DevicePrefetcher(generator, sharding, size=prefetch))
+    else:
+        batches = (shard_batch(generator[i], mesh) if mesh is not None
+                   else generator[i] for i in range(len(generator)))
+    for i, batch in enumerate(batches):
         if profile_dir is not None:
             if i == profile_steps[0]:
                 jax.profiler.start_trace(profile_dir)
@@ -85,9 +95,6 @@ def run_epoch(train_step, state, generator, mesh=None, log_every: int = 10,
                     metrics)
                 jax.profiler.stop_trace()
                 tracing = False
-        batch = generator[i]
-        if mesh is not None:
-            batch = shard_batch(batch, mesh)
         state, metrics = train_step(state, batch)
         if verbose and (i + 1) % log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}

@@ -142,3 +142,21 @@ def test_trunk_bn_stats_update(setup):
             moved_mask = True
     assert moved_backbone, "backbone BN running stats frozen at init"
     assert moved_mask, "mask BN running stats frozen at init"
+
+
+def test_run_epoch_prefetch_matches_direct(setup):
+    """Prefetched epochs produce the same final state as direct indexing."""
+    cfg, net, variables, gen = setup
+    tx = state_lib.make_optimizer(1e-3, cfg)
+    step = trainer_lib.make_train_step(net, cfg, tx, mode="training")
+
+    s1 = state_lib.create_train_state(
+        fresh(variables["params"]), fresh(variables.get("batch_stats", {})), tx)
+    s1, m1 = trainer_lib.run_epoch(step, s1, gen, mesh=None, verbose=False,
+                                   prefetch=2)
+    s2 = state_lib.create_train_state(
+        fresh(variables["params"]), fresh(variables.get("batch_stats", {})), tx)
+    s2, m2 = trainer_lib.run_epoch(step, s2, gen, mesh=None, verbose=False,
+                                   prefetch=0)
+    assert int(s1.step) == int(s2.step) == len(gen)
+    np.testing.assert_allclose(m1["loss"], m2["loss"], rtol=1e-5)
