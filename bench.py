@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import json
+import sys
 import time
 
 import jax
@@ -167,9 +168,10 @@ def main():
                 ips = bench_detect(call, cfg, bs)
             except Exception as e:  # OOM at large batch etc.
                 print(f"# {path} batch {bs} failed: {type(e).__name__}: {e}",
-                      flush=True)
+                      file=sys.stderr, flush=True)
                 continue
-            print(f"# {path} batch {bs}: {ips:,.0f} img/s", flush=True)
+            print(f"# {path} batch {bs}: {ips:,.0f} img/s", file=sys.stderr,
+                  flush=True)
             per_path[path] = max(per_path.get(path, 0.0), ips)
             if ips > best:
                 best, best_bs, best_path = ips, bs, path
