@@ -101,6 +101,27 @@ class BatchGenerator:
         return batch
 
 
+class GeneratorEpochSource:
+    """Adapt the endless `data_generator` to the epoch-indexed source
+    run_epoch/DevicePrefetcher expect. Each __getitem__ pulls the next batch,
+    so augmentation is re-sampled every epoch (reference semantics —
+    fit_generator drew from the generator forever, model.py:1047)."""
+
+    def __init__(self, gen, steps_per_epoch: int, config):
+        self.gen = gen
+        self.steps = steps_per_epoch
+        self.config = config
+
+    def __len__(self):
+        return self.steps
+
+    def __getitem__(self, i):
+        return next(self.gen)
+
+    def on_epoch_end(self):
+        pass
+
+
 def data_generator(dataset, config, shuffle=True, augment=False,
                    augmentation=None, mode="training", error_limit=5):
     """Endless python-generator batch source — the reference's legacy

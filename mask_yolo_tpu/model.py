@@ -139,12 +139,25 @@ class MaskYOLO:
         """
         layer_regex = {"all": ".*"}.get(layers, layers)
 
-        train_data = preload_dataset(train_dataset, self.config,
-                                     augmentation=augmentation)
-        val_data = preload_dataset(val_dataset, self.config)
         mode = "training" if self.mode == "training" else "yolo"
-        train_gen = BatchGenerator(train_data, self.config, mode=mode,
-                                   shuffle=True, seed=self.seed)
+        if augmentation is not None:
+            # reference semantics: augmentation is re-sampled per sample per
+            # epoch (fit_generator pulls from the generator forever,
+            # model.py:1047) — route through the endless generator instead of
+            # the one-shot preload
+            from .data.pipeline import GeneratorEpochSource, data_generator
+
+            steps = int(np.ceil(len(train_dataset.image_ids)
+                                / self.config.BATCH_SIZE))
+            train_gen = GeneratorEpochSource(
+                data_generator(train_dataset, self.config, shuffle=True,
+                               augmentation=augmentation, mode=mode),
+                steps, self.config)
+        else:
+            train_data = preload_dataset(train_dataset, self.config)
+            train_gen = BatchGenerator(train_data, self.config, mode=mode,
+                                       shuffle=True, seed=self.seed)
+        val_data = preload_dataset(val_dataset, self.config)
         val_gen = BatchGenerator(val_data, self.config, mode=mode,
                                  shuffle=False)
 
@@ -169,6 +182,14 @@ class MaskYOLO:
         eval_step = trainer_lib.make_eval_step(self.net, self.config, mode)
 
         os.makedirs(self.model_dir, exist_ok=True)
+        # persist the resolved config next to the checkpoints (reproducibility;
+        # the reference only ever printed it, config.py:251-257)
+        import json
+        with open(os.path.join(self.model_dir, "config.json"), "w") as f:
+            json.dump({k: v for k, v in self.config.to_dict().items()
+                       if isinstance(v, (int, float, str, bool, list, tuple,
+                                         dict, type(None)))},
+                      f, indent=2, default=str)
         start_epoch = self.epoch
         for epoch in range(start_epoch, epochs):
             if verbose:

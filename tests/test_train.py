@@ -160,3 +160,37 @@ def test_run_epoch_prefetch_matches_direct(setup):
                                    prefetch=0)
     assert int(s1.step) == int(s2.step) == len(gen)
     np.testing.assert_allclose(m1["loss"], m2["loss"], rtol=1e-5)
+
+
+def test_train_with_augmentation_uses_generator(tmp_path):
+    """MaskYOLO.train(augmentation=...) re-applies the augmentation every
+    epoch (generator path), unlike the one-shot preload."""
+    from conftest import TinyConfig
+
+    from mask_yolo_tpu import MaskYOLO
+    from mask_yolo_tpu.data.shapes import ShapesDataset
+
+    class Cfg(TinyConfig):
+        NUM_CLASSES = 4
+        LABELS = ["background", "square", "circle", "triangle"]
+        BATCH_SIZE = 8
+
+    cfg = Cfg()
+    tr = ShapesDataset(); tr.load_shapes(8, 64, 64, seed=0); tr.prepare()
+    va = ShapesDataset(); va.load_shapes(8, 64, 64, seed=1); va.prepare()
+
+    calls = {"n": 0}
+
+    def aug(image, mask):
+        calls["n"] += 1
+        return np.fliplr(image), np.fliplr(mask)
+
+    m = MaskYOLO(mode="training", config=cfg, model_dir=str(tmp_path))
+    m.train(tr, va, learning_rate=1e-3, epochs=2, layers="all",
+            augmentation=aug, verbose=False)
+    # 8 images/epoch × 2 epochs = 16 augmentation calls (one-shot preload
+    # would have been 8)
+    assert calls["n"] == 16, calls
+    import os
+    assert os.path.exists(str(tmp_path / "config.json"))
+    assert os.path.exists(str(tmp_path / "history.jsonl"))
