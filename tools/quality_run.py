@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--compute-dtype", default=None,
                     choices=["float32", "bfloat16"],
                     help="override Config.COMPUTE_DTYPE for the run")
+    ap.add_argument("--augment", action="store_true",
+                    help="per-epoch horizontal-flip augmentation")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--num-overlays", type=int, default=4)
     ap.add_argument("--score-threshold", type=float, default=0.35)
@@ -61,11 +63,22 @@ def main():
                         config.IMAGE_SHAPE[1], seed=args.seed + 2)
     eval_ds.prepare()
 
+    augmentation = None
+    if args.augment:
+        import numpy as _np
+
+        rng_aug = _np.random.RandomState(args.seed + 7)
+
+        def augmentation(image, mask):
+            if rng_aug.rand() < 0.5:
+                return _np.fliplr(image).copy(), _np.fliplr(mask).copy()
+            return image, mask
+
     model = MaskYOLO(mode="training", config=config,
                      model_dir=os.path.join(args.out, "ckpt"), seed=args.seed)
     t0 = time.perf_counter()
     model.train(train_ds, val_ds, learning_rate=args.lr, epochs=args.epochs,
-                layers="all")
+                layers="all", augmentation=augmentation)
     train_s = time.perf_counter() - t0
     weights = os.path.join(args.out, "weights")
     model.save_weights(weights)
