@@ -98,6 +98,10 @@ class Config:
     # nms 0.3 both, NMB 0.7 model.py:1304)
     OBJ_THRESHOLD = 0.35
     NMS_THRESHOLD = 0.3
+    # second-stage class-aware NMS in detect() (the reference's NMB pass uses
+    # 0.7, model.py:1304 — loose enough to keep near-duplicates; 0.3 measures
+    # better AP on Shapes)
+    DETECTION_NMS_THRESHOLD = 0.7
     DETECTION_MAX_INSTANCES = 10  # top-K kept after NMS (ref: top10, model.py:1292)
 
     # Compute precision: "bfloat16" activations with float32 params/outputs,
@@ -179,6 +183,7 @@ class Config:
             float(self.OBJ_THRESHOLD),
             float(self.NMS_THRESHOLD),
             int(self.DETECTION_MAX_INSTANCES),
+            float(self.DETECTION_NMS_THRESHOLD),
         )
 
     def display(self):

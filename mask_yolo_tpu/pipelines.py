@@ -239,10 +239,13 @@ def detect_from_callables(trunk, mask_branch, images, config,
     top_classes = jnp.take_along_axis(classes, idx, axis=1)
     valid = top_scores > score_threshold
 
-    # class-aware NMS in score order (NMB with the reference's 0.7 threshold,
-    # model.py:1304)
-    keep = jax.vmap(lambda bx, cl, va: index_order_class_nms_mask(bx, cl, va, 0.7))(
-        top_boxes, top_classes, valid)
+    # class-aware NMS in score order (the reference's NMB pass; its 0.7
+    # threshold — model.py:1304 — is the config default, tunable via
+    # DETECTION_NMS_THRESHOLD: 0.3 suppresses the near-duplicate boxes the
+    # reference's loose setting lets through)
+    det_nms = float(getattr(config, "DETECTION_NMS_THRESHOLD", 0.7))
+    keep = jax.vmap(lambda bx, cl, va: index_order_class_nms_mask(
+        bx, cl, va, det_nms))(top_boxes, top_classes, valid)
     valid = valid & keep
 
     # mask branch on the K survivors only (equivalence note in module docstring)
