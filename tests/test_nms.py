@@ -88,3 +88,21 @@ def test_top_k_detections(rng):
     order = np.argsort(-scores)[:5]
     np.testing.assert_allclose(np.asarray(s), scores[order], atol=1e-7)
     assert np.array_equal(np.asarray(v), scores[order] > 0.5)
+
+
+def test_detection_nms_threshold_config(tiny_config):
+    """DETECTION_NMS_THRESHOLD controls the second-stage suppression: two
+    heavily-overlapping same-class boxes both survive at the loose reference
+    default (0.7) and collapse to one at 0.3."""
+    import jax.numpy as jnp
+
+    from mask_yolo_tpu.ops.nms import index_order_class_nms_mask
+
+    boxes = jnp.asarray([[0.1, 0.1, 0.5, 0.5], [0.18, 0.18, 0.58, 0.58]],
+                        dtype=jnp.float32)
+    classes = jnp.asarray([1, 1], dtype=jnp.int32)
+    valid = jnp.asarray([True, True])
+    keep_loose = np.asarray(index_order_class_nms_mask(boxes, classes, valid, 0.7))
+    keep_tight = np.asarray(index_order_class_nms_mask(boxes, classes, valid, 0.3))
+    assert keep_loose.tolist() == [True, True]
+    assert keep_tight.tolist() == [True, False]
