@@ -3,6 +3,13 @@
 example/rice/test_tice_generator.py): load VIA annotations, pull one batch
 through the generator, and display GT boxes + masks."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
+
+
 import argparse
 
 import numpy as np

@@ -3,6 +3,13 @@
 reference's example/rice/train_rice.py, argparse-ified instead of
 edit-the-script)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
+
+
 import argparse
 
 from mask_yolo_tpu import MaskYOLO

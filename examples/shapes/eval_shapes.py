@@ -6,6 +6,13 @@ New capability vs the reference, which only ever eyeballed PNG overlays
 pipeline over a held-out Shapes set and prints real numbers.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
+
+
 import argparse
 import json
 

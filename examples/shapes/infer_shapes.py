@@ -7,6 +7,13 @@ fixed: the reference calls a nonexistent `detect_for_one`
 `detect`, used here.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
+
+
 import argparse
 
 from mask_yolo_tpu import MaskYOLO

@@ -5,6 +5,13 @@ Parity with the reference's example/shapes/infer_shapes_yolo_model.py:
 run the yolo-mode model and draw the decoded + NMS'd boxes.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
+
+
 import argparse
 
 from mask_yolo_tpu import MaskYOLO

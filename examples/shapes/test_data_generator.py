@@ -3,6 +3,13 @@
 example/shapes/test_data_generator.py): build Shapes data through
 load_image_gt + BatchGenerator, pull one batch, render it with GT overlays."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
+
+
 import matplotlib
 
 matplotlib.use("Agg")

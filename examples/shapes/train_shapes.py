@@ -6,6 +6,13 @@ build the Shapes train/val datasets, construct MaskYOLO in training mode, and
 train end-to-end (YOLO loss + mask loss).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
+
+
 import argparse
 
 from mask_yolo_tpu import MaskYOLO
