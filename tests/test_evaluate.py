@@ -55,3 +55,22 @@ def test_perfect_predictions_score_ap1():
         mask_ap, _, _, _ = metrics.compute_ap(
             gt_boxes, gt_ids, gt_masks, gt_boxes, gt_ids, scores, gt_masks)
         assert np.isclose(mask_ap, 1.0)
+
+
+def test_evaluate_dataset_pads_trailing_batch():
+    """Image counts not divisible by batch_size exercise the pad path
+    (the jitted program keeps a fixed batch shape)."""
+    from conftest import TinyConfig
+
+    class ShapesTiny(TinyConfig):
+        NUM_CLASSES = 4
+        LABELS = ["background", "square", "circle", "triangle"]
+
+    cfg = ShapesTiny()
+    ds = ShapesDataset()
+    ds.load_shapes(5, 64, 64, seed=21)
+    ds.prepare()
+    model = MaskYOLO(mode="inference", config=cfg)
+    result = evaluate_dataset(model, ds, cfg, batch_size=2)
+    assert result["n_images"] == 5
+    assert len(result["per_image"]) == 5
