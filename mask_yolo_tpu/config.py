@@ -104,6 +104,10 @@ class Config:
     DETECTION_NMS_THRESHOLD = 0.7
     DETECTION_MAX_INSTANCES = 10  # top-K kept after NMS (ref: top10, model.py:1292)
 
+    # Keep only the newest N per-epoch checkpoints (0 = keep all, the
+    # reference's ModelCheckpoint behavior — model.py:1026)
+    MAX_CHECKPOINTS = 5
+
     # Compute precision: "bfloat16" activations with float32 params/outputs,
     # or "float32" for bit-faithful parity testing.
     COMPUTE_DTYPE = "float32"

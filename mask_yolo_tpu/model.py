@@ -210,8 +210,10 @@ class MaskYOLO:
 
             ckpt_path = os.path.join(
                 self.model_dir,
-                "saved_model_" + datetime.datetime.now().strftime("%b%d-%H-%M"))
+                "saved_model_" + datetime.datetime.now().strftime(
+                    "%b%d-%H-%M-%S") + f"_e{epoch + 1:04d}")
             state_lib.save_checkpoint(ckpt_path, state, epoch=epoch + 1)
+            self._rotate_checkpoints()
             self.epoch = epoch + 1
             # per-epoch scalar history (the observability the reference got
             # from its TensorBoard callback, model.py:1024-1027)
@@ -225,6 +227,24 @@ class MaskYOLO:
         self.params = jax.device_get(state.params)
         self.batch_stats = jax.device_get(state.batch_stats)
         return state
+
+    def _rotate_checkpoints(self):
+        """Keep only the newest Config.MAX_CHECKPOINTS epoch checkpoints
+        (0 = keep all). The reference's ModelCheckpoint wrote one file per
+        epoch forever (model.py:1026); long runs accumulate GBs."""
+        import shutil
+
+        keep = int(getattr(self.config, "MAX_CHECKPOINTS", 0) or 0)
+        if keep <= 0:
+            return
+        ckpts = sorted(
+            (d for d in os.listdir(self.model_dir)
+             if d.startswith("saved_model_")
+             and os.path.isdir(os.path.join(self.model_dir, d))),
+            key=lambda d: os.path.getmtime(os.path.join(self.model_dir, d)))
+        for stale in ckpts[:-keep]:
+            shutil.rmtree(os.path.join(self.model_dir, stale),
+                          ignore_errors=True)
 
     # -- checkpoint I/O --------------------------------------------------------
 

@@ -137,3 +137,29 @@ def test_maskyolo_train_resume(tmp_path):
     m2.train(tr, va, learning_rate=1e-3, epochs=3, layers="all",
              verbose=False, resume_from=ckpts[-1])
     assert m2.epoch == 3  # resumed at 2, ran one more epoch
+
+
+def test_checkpoint_rotation(tmp_path):
+    """MAX_CHECKPOINTS keeps only the newest N epoch checkpoints."""
+    from conftest import TinyConfig
+
+    from mask_yolo_tpu import MaskYOLO
+    from mask_yolo_tpu.data.shapes import ShapesDataset
+
+    class Cfg(TinyConfig):
+        NUM_CLASSES = 4
+        LABELS = ["background", "square", "circle", "triangle"]
+        BATCH_SIZE = 8
+        MAX_CHECKPOINTS = 2
+
+    cfg = Cfg()
+    tr = ShapesDataset(); tr.load_shapes(2, 64, 64, seed=0); tr.prepare()
+    va = ShapesDataset(); va.load_shapes(2, 64, 64, seed=1); va.prepare()
+    m = MaskYOLO(mode="training", config=cfg, model_dir=str(tmp_path))
+    m.train(tr, va, learning_rate=1e-3, epochs=4, layers="all", verbose=False)
+    import glob
+    ckpts = glob.glob(str(tmp_path / "saved_model_*"))
+    assert len(ckpts) == 2, ckpts
+    # the kept ones are the newest (epoch suffix 3 and 4)
+    suffixes = sorted(c.rsplit("_e", 1)[1] for c in ckpts)
+    assert suffixes == ["0003", "0004"], suffixes
