@@ -9,9 +9,14 @@ reduction under `jit`) over ICI.
 
 Axes:
   'data'  — batch dimension (pure DP; gradients all-reduced by XLA)
-  'model' — reserved for tensor-parallel sharding of wide channels; at this
-            model scale it is 1 by default, but the train/infer steps accept
-            any (data, model) factorization so pods can be expressed.
+  'model' — tensor parallelism: wide conv kernels (the 512/1024-channel YOLO
+            head blocks, the 256-channel mask-head convs) are sharded over
+            their output-channel dim via `param_shardings`; GSPMD propagates
+            the channel sharding through the depthwise/pointwise stacks and
+            inserts the Megatron-style collectives itself. Gradients come out
+            sharded like the params, so optimizer state shards too — TP here
+            buys memory (params + Adam moments / mp) and keeps every device
+            busy on any (dp, mp) factorization.
 """
 
 from __future__ import annotations
@@ -54,3 +59,48 @@ def replicate_tree(tree, mesh: Mesh):
     """Replicate a pytree (params / optimizer state) across the mesh."""
     sh = replicated(mesh)
     return jax.device_put(tree, sh)
+
+
+# ---------------------------------------------------------------------------
+# Tensor parallelism over the 'model' axis
+# ---------------------------------------------------------------------------
+
+# Channel widths below this stay replicated: sharding a 64-wide conv over the
+# mesh buys nothing and costs a collective per layer.
+TP_MIN_CHANNELS = 256
+
+
+def param_shardings(tree, mesh: Mesh, min_channels: int = TP_MIN_CHANNELS):
+    """NamedSharding pytree for tensor-parallel placement of `tree`.
+
+    Rule: any leaf whose last (output-channel) dim is >= min_channels and
+    divisible by the 'model' axis size is sharded over 'model' on that dim —
+    conv kernels [kh, kw, cin, cout], depthwise kernels [kh, kw, 1, c],
+    biases / BN scale / BN stats [c]. Everything else (and everything when
+    model=1) is replicated. Works on params, batch_stats, and optax states
+    alike (Adam moments mirror param shapes; scalar counts stay replicated).
+    """
+    mp = mesh.shape["model"]
+
+    def rule(x):
+        shape = tuple(getattr(x, "shape", ()))
+        if (mp > 1 and shape and shape[-1] >= min_channels
+                and shape[-1] % mp == 0):
+            return NamedSharding(
+                mesh, P(*([None] * (len(shape) - 1)), "model"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, tree)
+
+
+def shard_tree(tree, mesh: Mesh, min_channels: int = TP_MIN_CHANNELS):
+    """Place params/stats/opt-state on the mesh under the TP sharding rules."""
+    return jax.device_put(tree, param_shardings(tree, mesh, min_channels))
+
+
+def place_tree(tree, mesh: Mesh):
+    """Params placement honoring the mesh: TP-sharded when the mesh has a
+    real 'model' axis, replicated otherwise."""
+    if mesh.shape.get("model", 1) > 1:
+        return shard_tree(tree, mesh)
+    return replicate_tree(tree, mesh)
