@@ -20,16 +20,18 @@ def evaluate_dataset(model, dataset, config, image_ids=None, batch_size=8,
     """Run detection over `dataset` and compute detection + mask AP.
 
     model: a MaskYOLO in 'inference' mode (uses detect_batch).
-    Returns dict with box_ap50, box_map (COCO 0.5:0.95), mask_ap50,
-    mean_recall50, per_image (list of per-image AP dicts).
+    Returns dict with pooled (true VOC/COCO definition: detections pooled
+    across the dataset before the PR curve — metrics.APAccumulator) box_ap50,
+    box_map (COCO 0.5:0.95), mask_ap50, mask_map; plus mean_recall50 and
+    per_image (per-image AP dicts, mean reported as box_ap50_per_image for
+    continuity with round-1 numbers).
     """
     if image_ids is None:
         image_ids = list(dataset.image_ids)
 
     h, w = config.IMAGE_SHAPE[:2]
     per_image = []
-    agg = {"gt_boxes": [], "gt_ids": [], "pred_boxes": [], "pred_ids": [],
-           "pred_scores": []}
+    acc = metrics.APAccumulator()
     box_ap50s, mask_ap50s, box_maps, recalls = [], [], [], []
 
     for start in range(0, len(image_ids), batch_size):
@@ -58,14 +60,22 @@ def evaluate_dataset(model, dataset, config, image_ids=None, batch_size=8,
             pred_scores = out["scores"][bi][idx].astype(np.float64)
             pred_masks = np.transpose(out["masks"][bi][idx], (1, 2, 0))
 
-            box_ap, _, _, _ = metrics.compute_ap(
-                gt_boxes, gt_ids, None, pred_boxes, pred_ids, pred_scores,
-                iou_threshold=iou_threshold)
-            box_map = metrics.compute_ap_range(
-                gt_boxes, gt_ids, None, pred_boxes, pred_ids, pred_scores)
-            mask_ap, _, _, _ = metrics.compute_ap(
-                gt_boxes, gt_ids, gt_masks, pred_boxes, pred_ids, pred_scores,
-                pred_masks, iou_threshold=iou_threshold)
+            acc.add(gt_boxes, gt_ids, gt_masks,
+                    pred_boxes, pred_ids, pred_scores, pred_masks)
+
+            if len(gt_ids) == 0 and len(pred_ids) == 0:
+                # a correct empty image: per-image AP scores it 1.0 (the old
+                # n_gt=max(G,1) fallback wrongly penalized it with 0.0)
+                box_ap = box_map = mask_ap = 1.0
+            else:
+                box_ap, _, _, _ = metrics.compute_ap(
+                    gt_boxes, gt_ids, None, pred_boxes, pred_ids, pred_scores,
+                    iou_threshold=iou_threshold)
+                box_map = metrics.compute_ap_range(
+                    gt_boxes, gt_ids, None, pred_boxes, pred_ids, pred_scores)
+                mask_ap, _, _, _ = metrics.compute_ap(
+                    gt_boxes, gt_ids, gt_masks, pred_boxes, pred_ids,
+                    pred_scores, pred_masks, iou_threshold=iou_threshold)
             recall, _ = metrics.compute_recall(pred_boxes, gt_boxes,
                                                iou=iou_threshold)
             per_image.append({"image_id": chunk[bi], "box_ap50": box_ap,
@@ -81,9 +91,16 @@ def evaluate_dataset(model, dataset, config, image_ids=None, batch_size=8,
                       f"mask AP50 {mask_ap:.3f} recall {recall:.3f}")
 
     result = {
-        "box_ap50": float(np.mean(box_ap50s)) if box_ap50s else 0.0,
-        "box_map": float(np.mean(box_maps)) if box_maps else 0.0,
-        "mask_ap50": float(np.mean(mask_ap50s)) if mask_ap50s else 0.0,
+        # pooled, dataset-level metrics (the real VOC/COCO definition)
+        "box_ap50": acc.ap(iou_threshold, use_masks=False),
+        "box_map": acc.map_range(use_masks=False),
+        "mask_ap50": acc.ap(iou_threshold, use_masks=True),
+        "mask_map": acc.map_range(use_masks=True),
+        # per-image means kept for continuity with round-1 reports
+        "box_ap50_per_image": float(np.mean(box_ap50s)) if box_ap50s else 0.0,
+        "box_map_per_image": float(np.mean(box_maps)) if box_maps else 0.0,
+        "mask_ap50_per_image": (float(np.mean(mask_ap50s))
+                                if mask_ap50s else 0.0),
         "mean_recall50": float(np.mean(recalls)) if recalls else 0.0,
         "n_images": len(per_image),
         "per_image": per_image,

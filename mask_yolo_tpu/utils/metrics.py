@@ -90,6 +90,16 @@ def compute_matches(gt_boxes, gt_class_ids, gt_masks,
     else:
         overlaps = compute_overlaps(pred_boxes, gt_boxes)
 
+    gt_match, pred_match = _greedy_match(
+        overlaps, gt_class_ids, pred_class_ids, iou_threshold)
+    return gt_match, pred_match, overlaps
+
+
+def _greedy_match(overlaps, gt_class_ids, pred_class_ids, iou_threshold):
+    """Greedy match on a precomputed [P, G] IoU matrix (P score-sorted).
+
+    Returns (gt_match [G], pred_match [P]) with -1 for unmatched.
+    """
     n_pred, n_gt = overlaps.shape
     gt_match = -np.ones(n_gt, dtype=np.int64)
     pred_match = -np.ones(n_pred, dtype=np.int64)
@@ -103,7 +113,7 @@ def compute_matches(gt_boxes, gt_class_ids, gt_masks,
                 gt_match[g] = p
                 pred_match[p] = g
                 break
-    return gt_match, pred_match, overlaps
+    return gt_match, pred_match
 
 
 def compute_ap(gt_boxes, gt_class_ids, gt_masks,
@@ -149,6 +159,107 @@ def compute_ap_range(gt_boxes, gt_class_ids, gt_masks,
             print(f"AP@{t:.2f} = {ap:.3f}")
         aps.append(ap)
     return float(np.mean(aps)) if aps else 0.0
+
+
+def _interp_ap(tp_flags: np.ndarray, n_gt: int) -> float:
+    """All-point-interpolated AP from score-ordered TP flags + total GT count."""
+    if n_gt == 0:
+        return 0.0
+    n_pred = len(tp_flags)
+    if n_pred == 0:
+        return 0.0
+    tp = np.cumsum(tp_flags.astype(np.float64))
+    precisions = tp / (np.arange(n_pred) + 1)
+    recalls = tp / n_gt
+    precisions = np.concatenate([[0.0], precisions, [0.0]])
+    recalls = np.concatenate([[0.0], recalls, [1.0]])
+    for i in range(len(precisions) - 2, -1, -1):
+        precisions[i] = max(precisions[i], precisions[i + 1])
+    idx = np.where(recalls[:-1] != recalls[1:])[0] + 1
+    return float(np.sum((recalls[idx] - recalls[idx - 1]) * precisions[idx]))
+
+
+class APAccumulator:
+    """Pools detections across a whole dataset for true VOC/COCO AP.
+
+    Per-image AP averaging (what matterport's ``compute_ap`` invites) is NOT
+    the VOC/COCO definition: detections must be pooled across the dataset,
+    score-sorted globally, and the PR curve computed once per (class, IoU
+    threshold). This accumulator does exactly that — ``add()`` one image at a
+    time, then read ``ap(t)`` / ``map_range()``. Matching stays per-image
+    (a prediction can only match GT in its own image); only the PR pooling is
+    global. Macro-averaged over classes that have at least one GT instance
+    (COCO convention: classes absent from GT are ignored).
+    """
+
+    def __init__(self):
+        self._images = []
+
+    def add(self, gt_boxes, gt_class_ids, gt_masks,
+            pred_boxes, pred_class_ids, pred_scores, pred_masks=None):
+        """Record one image's GT + predictions (masks optional, [H, W, N])."""
+        gt_boxes = np.asarray(gt_boxes, dtype=np.float64).reshape(-1, 4)
+        gt_class_ids = np.asarray(gt_class_ids).reshape(-1)
+        pred_boxes = np.asarray(pred_boxes, dtype=np.float64).reshape(-1, 4)
+        pred_class_ids = np.asarray(pred_class_ids).reshape(-1)
+        pred_scores = np.asarray(pred_scores, dtype=np.float64).reshape(-1)
+
+        order = np.argsort(-pred_scores, kind="stable")
+        pred_boxes = pred_boxes[order]
+        pred_class_ids = pred_class_ids[order]
+        pred_scores = pred_scores[order]
+
+        box_overlaps = compute_overlaps(pred_boxes, gt_boxes)
+        mask_overlaps = None
+        if pred_masks is not None and gt_masks is not None:
+            pred_masks = np.asarray(pred_masks)[..., order]
+            mask_overlaps = compute_overlaps_masks(pred_masks, gt_masks)
+
+        self._images.append({
+            "gt_ids": gt_class_ids,
+            "pred_ids": pred_class_ids,
+            "scores": pred_scores,
+            "box_overlaps": box_overlaps,
+            "mask_overlaps": mask_overlaps,
+        })
+
+    def _pool(self, iou_threshold: float, use_masks: bool):
+        """Match per image, pool (score, tp, class) across the dataset."""
+        scores, tps, classes, gt_classes = [], [], [], []
+        for im in self._images:
+            overlaps = im["mask_overlaps"] if use_masks else im["box_overlaps"]
+            if use_masks and overlaps is None:
+                raise ValueError("mask AP requested but no masks were added")
+            _, pred_match = _greedy_match(
+                overlaps, im["gt_ids"], im["pred_ids"], iou_threshold)
+            scores.append(im["scores"])
+            tps.append(pred_match >= 0)
+            classes.append(im["pred_ids"])
+            gt_classes.append(im["gt_ids"])
+        scores = np.concatenate(scores) if scores else np.zeros(0)
+        tps = np.concatenate(tps) if tps else np.zeros(0, bool)
+        classes = np.concatenate(classes) if classes else np.zeros(0, np.int64)
+        gt_classes = (np.concatenate(gt_classes) if gt_classes
+                      else np.zeros(0, np.int64))
+        return scores, tps, classes, gt_classes
+
+    def ap(self, iou_threshold: float = 0.5, use_masks: bool = False) -> float:
+        """Pooled macro AP at one IoU threshold over classes present in GT."""
+        scores, tps, classes, gt_classes = self._pool(iou_threshold, use_masks)
+        class_aps = []
+        for c in np.unique(gt_classes):
+            sel = classes == c
+            order = np.argsort(-scores[sel], kind="stable")
+            class_aps.append(
+                _interp_ap(tps[sel][order], int((gt_classes == c).sum())))
+        return float(np.mean(class_aps)) if class_aps else 0.0
+
+    def map_range(self, use_masks: bool = False, iou_thresholds=None) -> float:
+        """Pooled COCO-style mean AP over IoU 0.5:0.05:0.95."""
+        if iou_thresholds is None:
+            iou_thresholds = np.arange(0.5, 1.0, 0.05)
+        return float(np.mean(
+            [self.ap(float(t), use_masks) for t in iou_thresholds]))
 
 
 def compute_recall(pred_boxes, gt_boxes, iou: float = 0.5):

@@ -146,3 +146,64 @@ def test_mask_overlaps_zero_instances():
         np.array([[0, 0, 4, 4]]), np.array([1]), m2[:, :, :1],
         np.zeros((0, 4)), np.zeros(0), np.zeros(0), m0)
     assert ap == 0.0
+
+
+class TestAPAccumulator:
+    """Pooled (dataset-level) AP — the true VOC/COCO definition."""
+
+    def test_perfect_predictions(self):
+        acc = metrics.APAccumulator()
+        for _ in range(3):
+            gt = np.array([[0, 0, 10, 10], [20, 20, 30, 30]], float)
+            ids = np.array([1, 2])
+            acc.add(gt, ids, None, gt, ids, np.array([0.9, 0.8]))
+        assert acc.ap(0.5) == 1.0
+        assert acc.map_range() == 1.0
+
+    def test_pooled_differs_from_per_image_mean(self):
+        # image A: 1 GT, 1 perfect pred at score 0.9  -> per-image AP 1.0
+        # image B: 1 GT, 1 false positive at score 0.95 -> per-image AP 0.0
+        # mean per-image AP = 0.5; pooled: global order is [FP(0.95), TP(0.9)]
+        # -> precisions [0, 0.5] at recalls [0, 0.5]; recall never reaches 1.0
+        # (2 GT, 1 TP) -> AP = 0.5 * 0.5 = 0.25.
+        acc = metrics.APAccumulator()
+        gt = np.array([[0, 0, 10, 10]], float)
+        acc.add(gt, [1], None, gt, [1], [0.9])
+        acc.add(gt, [1], None, np.array([[50, 50, 60, 60.0]]), [1], [0.95])
+        assert abs(acc.ap(0.5) - 0.25) < 1e-9
+
+    def test_empty_images_do_not_penalize(self):
+        acc = metrics.APAccumulator()
+        gt = np.array([[0, 0, 10, 10]], float)
+        acc.add(gt, [1], None, gt, [1], [0.9])
+        # a correct empty image: no GT, no predictions
+        acc.add(np.zeros((0, 4)), np.zeros(0, int), None,
+                np.zeros((0, 4)), np.zeros(0, int), np.zeros(0))
+        assert acc.ap(0.5) == 1.0
+
+    def test_macro_over_classes_present_in_gt(self):
+        # class 1: perfect; class 2: GT but no predictions (AP 0);
+        # class 3: prediction but no GT (ignored) -> mAP = 0.5
+        acc = metrics.APAccumulator()
+        b = np.array([[0, 0, 10, 10]], float)
+        b2 = np.array([[20, 20, 30, 30]], float)
+        acc.add(np.vstack([b, b2]), [1, 2], None, b, [1], [0.9])
+        acc.add(np.zeros((0, 4)), np.zeros(0, int), None, b, [3], [0.8])
+        assert abs(acc.ap(0.5) - 0.5) < 1e-9
+
+    def test_mask_ap(self):
+        acc = metrics.APAccumulator()
+        m = np.zeros((16, 16, 1), bool)
+        m[2:8, 2:8, 0] = True
+        gt = np.array([[2, 2, 8, 8]], float)
+        acc.add(gt, [1], m, gt, [1], [0.9], m)
+        assert acc.ap(0.5, use_masks=True) == 1.0
+
+    def test_matching_stays_per_image(self):
+        # the only GT lives in image A; a perfect-IoU box in image B must NOT
+        # match it (pooling is global, matching is per-image)
+        acc = metrics.APAccumulator()
+        gt = np.array([[0, 0, 10, 10]], float)
+        acc.add(gt, [1], None, np.zeros((0, 4)), np.zeros(0, int), np.zeros(0))
+        acc.add(np.zeros((0, 4)), np.zeros(0, int), None, gt, [1], [0.99])
+        assert acc.ap(0.5) == 0.0
