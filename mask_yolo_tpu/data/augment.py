@@ -1,0 +1,219 @@
+"""Seeded, mask-safe augmentation pipeline.
+
+Rebuilds the reference's imgaug integration
+(/root/reference/myolo/myolo_utils.py:306-343): the reference accepts an
+arbitrary imgaug augmenter, freezes one sampled transform per image via
+`to_deterministic()`, applies it to image AND mask, but restricts mask
+application to a geometric whitelist (MASK_AUGMENTERS — Fliplr/Flipud/
+CropAndPad/Affine/PiecewiseAffine) through a hook.
+
+Here the same contract is native: every op declares `affects_mask`. Geometric
+ops draw ONE sample and transform image (bilinear) and mask (nearest) with
+it; photometric ops touch the image only. `Sequential` owns a seeded
+RandomState, so augmentation is reproducible end-to-end yet freshly resampled
+on every call — i.e. per image per epoch, matching the reference's
+fit_generator semantics (model.py:1047).
+
+Usage (the `augmentation` argument of MaskYOLO.train / load_image_gt):
+
+    aug = augment.default_augmenter(seed=7)
+    # or hand-built:
+    aug = augment.Sequential([
+        augment.Fliplr(0.5), augment.Rot90(),
+        augment.Scale((0.9, 1.1)), augment.Brightness((0.8, 1.2)),
+    ], seed=7)
+    model.train(train_ds, val_ds, lr, epochs, augmentation=aug)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils import image as image_ops
+
+
+class Augmenter:
+    """One augmentation op. Subclasses implement `apply(image, mask, rng)`
+    and set `affects_mask` (True = geometric, transforms the mask with the
+    same sampled parameters; False = photometric, image only — the native
+    equivalent of the reference's MASK_AUGMENTERS whitelist,
+    myolo_utils.py:315-321)."""
+
+    affects_mask = False
+
+    def apply(self, image, mask, rng):
+        raise NotImplementedError
+
+    def __call__(self, image, mask, rng=None):
+        if rng is None:
+            rng = np.random
+        return self.apply(image, mask, rng)
+
+
+class Fliplr(Augmenter):
+    """Horizontal flip with probability p (imgaug.Fliplr)."""
+
+    affects_mask = True
+
+    def __init__(self, p: float = 0.5):
+        self.p = float(p)
+
+    def apply(self, image, mask, rng):
+        if rng.rand() < self.p:
+            image = np.fliplr(image).copy()
+            mask = np.fliplr(mask).copy()
+        return image, mask
+
+
+class Flipud(Augmenter):
+    """Vertical flip with probability p (imgaug.Flipud)."""
+
+    affects_mask = True
+
+    def __init__(self, p: float = 0.5):
+        self.p = float(p)
+
+    def apply(self, image, mask, rng):
+        if rng.rand() < self.p:
+            image = np.flipud(image).copy()
+            mask = np.flipud(mask).copy()
+        return image, mask
+
+
+class Rot90(Augmenter):
+    """Rotate by a random multiple of 90° drawn from `ks`. Non-square images
+    only admit k ∈ {0, 2} (the output must keep the input shape)."""
+
+    affects_mask = True
+
+    def __init__(self, ks=(0, 1, 2, 3)):
+        self.ks = tuple(int(k) % 4 for k in ks)
+
+    def apply(self, image, mask, rng):
+        ks = self.ks
+        if image.shape[0] != image.shape[1]:
+            ks = tuple(k for k in ks if k % 2 == 0) or (0,)
+        k = ks[rng.randint(len(ks))]
+        if k:
+            image = np.rot90(image, k, axes=(0, 1)).copy()
+            mask = np.rot90(mask, k, axes=(0, 1)).copy()
+        return image, mask
+
+
+class Scale(Augmenter):
+    """Zoom about the image center by a factor drawn uniformly from `rng_lo_hi`
+    (imgaug Affine(scale=...) with cval=0). Output keeps the input shape:
+    zoom-in center-crops, zoom-out zero-pads. Image bilinear, mask nearest."""
+
+    affects_mask = True
+
+    def __init__(self, rng_lo_hi=(0.9, 1.1)):
+        self.lo, self.hi = float(rng_lo_hi[0]), float(rng_lo_hi[1])
+
+    def apply(self, image, mask, rng):
+        s = rng.uniform(self.lo, self.hi)
+        h, w = image.shape[:2]
+        nh, nw = max(1, int(round(h * s))), max(1, int(round(w * s)))
+        if (nh, nw) == (h, w):
+            return image, mask
+        dtype = image.dtype
+        img = image_ops.resize_bilinear(image, (nh, nw))
+        msk = image_ops.resize_nearest(mask, (nh / h, nw / w))
+        # resize_nearest rounds its own output size; force-fit defensively
+        msk = msk[:nh, :nw]
+        img = self._fit(img, h, w)
+        msk = self._fit(msk, h, w)
+        if np.issubdtype(dtype, np.integer):
+            img = np.clip(np.round(img), 0, np.iinfo(dtype).max)
+        return img.astype(dtype), msk.astype(mask.dtype)
+
+    @staticmethod
+    def _fit(arr, h, w):
+        """Center-crop or zero-pad `arr` (H, W, ...) to exactly (h, w)."""
+        ah, aw = arr.shape[:2]
+        # crop
+        y0 = max(0, (ah - h) // 2)
+        x0 = max(0, (aw - w) // 2)
+        arr = arr[y0:y0 + h, x0:x0 + w]
+        ah, aw = arr.shape[:2]
+        if (ah, aw) == (h, w):
+            return arr
+        # pad
+        py, px = h - ah, w - aw
+        pad = [(py // 2, py - py // 2), (px // 2, px - px // 2)]
+        pad += [(0, 0)] * (arr.ndim - 2)
+        return np.pad(arr, pad)
+
+
+class Brightness(Augmenter):
+    """Multiply pixel intensities by a factor drawn from `rng_lo_hi`
+    (imgaug Multiply). Photometric: image only."""
+
+    affects_mask = False
+
+    def __init__(self, rng_lo_hi=(0.8, 1.2)):
+        self.lo, self.hi = float(rng_lo_hi[0]), float(rng_lo_hi[1])
+
+    def apply(self, image, mask, rng):
+        m = rng.uniform(self.lo, self.hi)
+        dtype = image.dtype
+        out = image.astype(np.float32) * m
+        if np.issubdtype(dtype, np.integer):
+            out = np.clip(np.round(out), 0, np.iinfo(dtype).max)
+        return out.astype(dtype), mask
+
+
+class Contrast(Augmenter):
+    """Scale the distance from the mean intensity by a factor from
+    `rng_lo_hi` (imgaug LinearContrast). Photometric: image only."""
+
+    affects_mask = False
+
+    def __init__(self, rng_lo_hi=(0.8, 1.2)):
+        self.lo, self.hi = float(rng_lo_hi[0]), float(rng_lo_hi[1])
+
+    def apply(self, image, mask, rng):
+        a = rng.uniform(self.lo, self.hi)
+        dtype = image.dtype
+        img = image.astype(np.float32)
+        mean = img.mean(axis=(0, 1), keepdims=True)
+        out = mean + (img - mean) * a
+        if np.issubdtype(dtype, np.integer):
+            out = np.clip(np.round(out), 0, np.iinfo(dtype).max)
+        return out.astype(dtype), mask
+
+
+class Sequential(Augmenter):
+    """Apply a list of ops in order with a private seeded RandomState.
+
+    Matches both framework call contracts: `aug(image, mask)` uses the
+    internal (seeded) stream; `aug(image, mask, rng)` uses the caller's.
+    """
+
+    def __init__(self, ops, seed: int | None = 0):
+        self.ops = list(ops)
+        self.rng = np.random.RandomState(seed)
+
+    @property
+    def affects_mask(self):
+        return any(op.affects_mask for op in self.ops)
+
+    def apply(self, image, mask, rng):
+        for op in self.ops:
+            image, mask = op.apply(image, mask, rng)
+        return image, mask
+
+    def __call__(self, image, mask, rng=None):
+        return self.apply(image, mask, rng if rng is not None else self.rng)
+
+
+def default_augmenter(seed: int | None = 0) -> Sequential:
+    """The flip/rot90/scale/brightness set named by the round-1 review:
+    a reasonable default for small datasets (it produced the +0.06 AP50
+    jump recorded in docs/PERFORMANCE.md for Shapes)."""
+    return Sequential([
+        Fliplr(0.5),
+        Rot90(),
+        Scale((0.9, 1.1)),
+        Brightness((0.85, 1.15)),
+    ], seed=seed)

@@ -36,13 +36,19 @@ def extract_bboxes(mask: np.ndarray) -> np.ndarray:
 
 
 def load_image_gt(dataset, config, image_id, augment=False, augmentation=None,
-                  use_mini_mask=None):
+                  use_mini_mask=None, rng=None):
     """Load one image + GT and resize to the network input shape.
 
     Returns (image [H,W,3] uint8, class_ids [N] int32, boxes [N,4] int32 xyxy
     pixels, masks [H,W,N] bool) — ragged in N, like the reference
     (myolo_utils.py:274-366). Use `pack_gt` to fix the shapes.
+
+    rng: np.random.RandomState driving the `augment` flip (and GT
+    subsampling in pack_gt when threaded there); None falls back to the
+    global stream. Pass a seeded state for deterministic pipelines.
     """
+    if rng is None:
+        rng = np.random
     image = dataset.load_image(image_id)
     mask, class_ids = dataset.load_mask(image_id)
     image, scale = image_ops.resize_image(image, config.IMAGE_SHAPE)
@@ -50,11 +56,13 @@ def load_image_gt(dataset, config, image_id, augment=False, augmentation=None,
 
     if augment:
         # horizontal flip with p=0.5 (reference: myolo_utils.py:308-312)
-        if np.random.randint(0, 2):
+        if rng.randint(0, 2):
             image = np.fliplr(image)
             mask = np.fliplr(mask)
 
     if augmentation is not None:
+        # seeded augmenters (data/augment.py Sequential) own their stream;
+        # bare callables keep the legacy (image, mask) contract
         image, mask = augmentation(image, mask)
 
     # Drop instances whose mask vanished during resize (myolo_utils.py:345-349)
@@ -129,15 +137,18 @@ def unmold_image(normalized_images, config) -> np.ndarray:
         + np.asarray(config.MEAN_PIXEL, dtype=np.float32)).astype(np.uint8)
 
 
-def pack_gt(class_ids, boxes, masks, config):
+def pack_gt(class_ids, boxes, masks, config, rng=None):
     """Pad ragged GT to fixed shapes for jit: returns
     (class_ids [G], boxes [G,4] float32 px, masks [H,W,G] bool) with
     G = MAX_GT_INSTANCES; excess instances are randomly subsampled
-    (reference BatchGenerator: myolo_utils.py:760-767)."""
+    (reference BatchGenerator: myolo_utils.py:760-767). rng: optional
+    seeded RandomState for the subsample."""
+    if rng is None:
+        rng = np.random
     g = config.MAX_GT_INSTANCES
     n = class_ids.shape[0]
     if n > g:
-        ids = np.random.choice(np.arange(n), g, replace=False)
+        ids = rng.choice(np.arange(n), g, replace=False)
         class_ids = class_ids[ids]
         boxes = boxes[ids]
         masks = masks[:, :, ids]

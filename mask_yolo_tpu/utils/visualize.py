@@ -308,6 +308,112 @@ def plot_overlaps(gt_class_ids, pred_class_ids, pred_scores, overlaps,
     plt.close(fig)
 
 
+def draw_box(image, box, color, thickness=2):
+    """Draw a box outline on a numpy image in place (the mrcnn utils.draw_box
+    the reference's debug paths lean on; also used by the generator's
+    norm=False debug mode, reference myolo_utils.py:826-840).
+
+    box: (x1, y1, x2, y2) pixels; color: per-channel value(s)."""
+    h, w = image.shape[:2]
+    x1, y1, x2, y2 = (int(round(float(v))) for v in box[:4])
+    x1, x2 = np.clip([x1, x2], 0, w - 1)
+    y1, y2 = np.clip([y1, y2], 0, h - 1)
+    t = int(thickness)
+    image[y1:y1 + t, x1:x2 + 1] = color
+    image[max(y2 - t + 1, 0):y2 + 1, x1:x2 + 1] = color
+    image[y1:y2 + 1, x1:x1 + t] = color
+    image[y1:y2 + 1, max(x2 - t + 1, 0):x2 + 1] = color
+    return image
+
+
+def draw_boxes(image, boxes=None, refined_boxes=None, masks=None,
+               captions=None, visibilities=None, title="", ax=None,
+               save_path=None, show=False):
+    """The full debug overlay of the reference (visualize.py:368-468):
+    anchors/proposals in dotted style, refined boxes solid with a connector
+    line from the original box, per-box captions, optional masks.
+
+    boxes / refined_boxes: [N, (x1, y1, x2, y2)] pixels (this framework's
+    box convention; the reference uses (y1, x1, y2, x2)).
+    visibilities: per-box 0 = gray faint, 1 = dotted, 2 = solid
+    (reference visibility semantics, visualize.py:400-410).
+    """
+    import matplotlib.pyplot as plt
+    from matplotlib import lines
+    from matplotlib.patches import Rectangle
+
+    n = 0
+    if boxes is not None:
+        n = max(n, len(boxes))
+    if refined_boxes is not None:
+        n = max(n, len(refined_boxes))
+
+    created = ax is None
+    if created:
+        _, ax = plt.subplots(1, figsize=(12, 12))
+    colors = random_colors(max(n, 1), seed=0)
+
+    margin = image.shape[0] // 10
+    ax.set_ylim(image.shape[0] + margin, -margin)
+    ax.set_xlim(-margin, image.shape[1] + margin)
+    ax.axis("off")
+    ax.set_title(title)
+
+    masked_image = image.astype(np.uint8).copy()
+    for i in range(n):
+        # visibility → style (reference visualize.py:400-410)
+        visibility = visibilities[i] if visibilities is not None else 1
+        if visibility == 0:
+            color, style, alpha = "gray", "dotted", 0.5
+        elif visibility == 1:
+            color, style, alpha = colors[i], "dotted", 1
+        else:
+            color, style, alpha = colors[i], "solid", 1
+
+        x1 = y1 = x2 = y2 = None
+        if boxes is not None and i < len(boxes):
+            if not np.any(boxes[i]):
+                continue  # skip padded zero boxes in cropped images
+            x1, y1, x2, y2 = boxes[i]
+            ax.add_patch(Rectangle((x1, y1), x2 - x1, y2 - y1, linewidth=2,
+                                   alpha=alpha, linestyle=style,
+                                   edgecolor=color, facecolor="none"))
+
+        # refined boxes drawn solid, connected to the original by a line
+        # (reference visualize.py:424-436)
+        if refined_boxes is not None and i < len(refined_boxes) and visibility > 0:
+            rx1, ry1, rx2, ry2 = np.asarray(refined_boxes[i], dtype=np.float32)
+            ax.add_patch(Rectangle((rx1, ry1), rx2 - rx1, ry2 - ry1,
+                                   linewidth=2, edgecolor=color,
+                                   facecolor="none"))
+            if x1 is not None:
+                ax.add_line(lines.Line2D([x1, rx1], [y1, ry1], color=color))
+            if x1 is None:
+                x1, y1 = rx1, ry1
+
+        if captions is not None and i < len(captions) and captions[i] is not None \
+                and x1 is not None:
+            ax.text(x1, y1, captions[i], size=11, verticalalignment="top",
+                    color="w", backgroundcolor="none",
+                    bbox={"facecolor": color if visibility else "gray",
+                          "alpha": 0.5, "pad": 2, "edgecolor": "none"})
+
+        if masks is not None and masks.shape[-1] > i:
+            m = masks[:, :, i]
+            masked_image = apply_mask(masked_image, m, colors[i])
+            ys, xs = np.where(_mask_edges(m))
+            ax.scatter(xs, ys, s=0.5, c=[colors[i]])
+
+    ax.imshow(masked_image)
+    if save_path:
+        plt.savefig(save_path, bbox_inches="tight")
+    if show:
+        plt.show()
+    elif created:
+        plt.close(ax.figure)
+    return ax
+
+
 def display_weight_stats(params):
     """Table of per-parameter stats with dead/overflow flags (reference
     visualize.py:485-510). params: a pytree of arrays. Returns list of rows."""

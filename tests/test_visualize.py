@@ -93,3 +93,35 @@ def test_draw_rois_smoke(tmp_path, rng):
     visualize.draw_rois(image, rois, refined, mask, class_ids,
                         ["bg", "a", "b"], limit=8, save_path=str(out))
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_draw_box_numpy():
+    from mask_yolo_tpu.utils.visualize import draw_box
+
+    img = np.zeros((32, 32, 3), np.uint8)
+    draw_box(img, (4, 6, 20, 25), (255, 0, 0), thickness=2)
+    assert (img[6:8, 4:21, 0] == 255).all()     # top edge
+    assert (img[24:26, 4:21, 0] == 255).all()   # bottom edge
+    assert (img[6:26, 4:6, 0] == 255).all()     # left edge
+    assert img[15, 12, 0] == 0                  # interior untouched
+
+
+def test_draw_boxes_full_debug_overlay(tmp_path):
+    """The reference's full draw_boxes (visualize.py:368-468): boxes +
+    refined boxes + captions + visibilities + masks in one overlay."""
+    from mask_yolo_tpu.utils.visualize import draw_boxes
+
+    rng = np.random.RandomState(0)
+    image = rng.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+    boxes = np.array([[4, 4, 20, 20], [30, 30, 60, 58], [0, 0, 0, 0]],
+                     np.float32)
+    refined = np.array([[6, 6, 22, 22], [28, 28, 58, 56], [1, 1, 5, 5]],
+                       np.float32)
+    masks = np.zeros((64, 64, 3), bool)
+    masks[8:16, 8:16, 0] = True
+    out = str(tmp_path / "draw_boxes.png")
+    draw_boxes(image, boxes=boxes, refined_boxes=refined, masks=masks,
+               captions=["a", "b 0.5", None], visibilities=[2, 1, 0],
+               title="debug", save_path=out)
+    import os
+    assert os.path.getsize(out) > 0
