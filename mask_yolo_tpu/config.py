@@ -50,9 +50,12 @@ class Config:
     WARM_UP_BATCHES = 0
     CLASS_WEIGHTS = None  # defaults to ones(NUM_CLASSES); resolved lazily
 
-    # Training schedule (reference: config.py:62-67)
-    STEPS_PER_EPOCH = 1000
-    VALIDATION_STEPS = 5
+    # Training schedule (reference: config.py:62-67). 0 = one full pass over
+    # the dataset per epoch / every validation batch (this framework's
+    # default; the reference's Keras defaults were 1000/5). Positive values
+    # cap the train steps and validation batches per epoch.
+    STEPS_PER_EPOCH = 0
+    VALIDATION_STEPS = 0
 
     # Backbone (reference: config.py:74-92). "mobilenet" or "resnet50_fpn".
     BACKBONE = "mobilenet"
@@ -103,6 +106,11 @@ class Config:
     # better AP on Shapes)
     DETECTION_NMS_THRESHOLD = 0.7
     DETECTION_MAX_INSTANCES = 10  # top-K kept after NMS (ref: top10, model.py:1292)
+    # Run the mask branch + paste only on the MASK_TOP_K highest-scoring NMS
+    # survivors (slots re-sorted valid-first). 0 = all DETECTION_MAX_INSTANCES
+    # slots (exact). Output-identical whenever ≤ MASK_TOP_K boxes survive;
+    # the mask branch cost is linear in this value (docs/PERFORMANCE.md).
+    MASK_TOP_K = 0
 
     # Keep only the newest N per-epoch checkpoints (0 = keep all, the
     # reference's ModelCheckpoint behavior — model.py:1026)
@@ -188,6 +196,7 @@ class Config:
             float(self.NMS_THRESHOLD),
             int(self.DETECTION_MAX_INSTANCES),
             float(self.DETECTION_NMS_THRESHOLD),
+            int(getattr(self, "MASK_TOP_K", 0) or 0),
         )
 
     def display(self):
@@ -229,4 +238,9 @@ class CocoStyleConfig(Config):
     MAX_GT_INSTANCES = 50
     TRUE_BOX_BUFFER = 30
     DETECTION_MAX_INSTANCES = 100
+    # masks for the 32 best survivors (COCO images rarely carry more
+    # instances above threshold; output-identical when they don't) — the
+    # mask branch dominates this operating point and is linear in K
+    MASK_TOP_K = 32
     COMPUTE_DTYPE = "bfloat16"
+    USE_MINI_MASK = True

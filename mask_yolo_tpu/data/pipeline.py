@@ -18,22 +18,26 @@ from .loader import load_image_gt, pack_gt
 
 
 def preload_dataset(dataset, config, image_ids=None, augment=False,
-                    augmentation=None):
+                    augmentation=None, seed=0):
     """Eagerly load + pack every image of a dataset (the reference preloads
     in train(), model.py:993-1006 — but hardcodes 50/6 counts; we load all).
 
     Returns dict of stacked arrays:
-      images [N,H,W,3] float32 in [0,1], gt_class_ids [N,G], gt_boxes [N,G,4],
-      gt_masks [N,H,W,G] bool.
+      images [N,H,W,3] uint8 (pipelines normalize on device — 4× less
+      host→device transfer than float32), gt_class_ids [N,G],
+      gt_boxes [N,G,4], gt_masks [H,W,G] bool (MINI_MASK_SHAPE-sized when
+      config.USE_MINI_MASK).
     """
+    rng = np.random.RandomState(seed)
     if image_ids is None:
         image_ids = dataset.image_ids
     images, all_ids, all_boxes, all_masks = [], [], [], []
     for image_id in image_ids:
         image, cids, boxes, masks = load_image_gt(
-            dataset, config, image_id, augment=augment, augmentation=augmentation)
-        ids, bxs, msks = pack_gt(cids, boxes, masks, config)
-        images.append(image.astype(np.float32) / 255.0)
+            dataset, config, image_id, augment=augment,
+            augmentation=augmentation, rng=rng)
+        ids, bxs, msks = pack_gt(cids, boxes, masks, config, rng=rng)
+        images.append(np.ascontiguousarray(image, dtype=np.uint8))
         all_ids.append(ids)
         all_boxes.append(bxs)
         all_masks.append(msks)
@@ -45,15 +49,42 @@ def preload_dataset(dataset, config, image_ids=None, augment=False,
     }
 
 
+def _debug_draw_batch(images, gt_boxes, gt_class_ids):
+    """The generator's norm=False debug mode (reference
+    myolo_utils.py:826-840): emit 0..255 images with GT boxes drawn on them.
+    Box color cycles by class id (the reference wrote the class index as cv2
+    text; here color encodes it)."""
+    from ..utils.visualize import draw_box, random_colors
+
+    colors = random_colors(10, seed=0)
+    out = np.asarray(images)
+    if out.dtype != np.uint8 and out.max() <= 1.5:  # normalized floats
+        out = out * 255.0
+    out = out.astype(np.float32)
+    for b in range(out.shape[0]):
+        for box, cid in zip(gt_boxes[b], gt_class_ids[b]):
+            if cid == 0 and not np.any(box):
+                continue
+            c = np.asarray(colors[int(cid) % len(colors)]) * 255.0
+            draw_box(out[b], box, c)
+    return out
+
+
 class BatchGenerator:
-    """Fixed-shape batch source over a preloaded dataset dict."""
+    """Fixed-shape batch source over a preloaded dataset dict.
+
+    norm=False switches to the reference's generator debug mode
+    (myolo_utils.py:826-840): images come back un-normalized (0..255) with
+    the GT boxes drawn onto them — for eyeballing the target encoding."""
 
     def __init__(self, data: dict, config, mode: str = "training",
-                 shuffle: bool = True, seed: int | None = None):
+                 shuffle: bool = True, seed: int | None = None,
+                 norm: bool = True):
         assert mode in ("yolo", "training")
         self.data = data
         self.config = config
         self.mode = mode
+        self.norm = norm
         self.shuffle = shuffle
         self.rng = np.random.RandomState(seed)
         self.n = data["images"].shape[0]
@@ -88,6 +119,8 @@ class BatchGenerator:
         gt_ids = self.data["gt_class_ids"][ids]
         gt_boxes = self.data["gt_boxes"][ids]
         yolo_target, true_boxes = encode_batch(gt_boxes, gt_ids, self.config)
+        if not self.norm:
+            images = _debug_draw_batch(images, gt_boxes, gt_ids)
 
         batch = {
             "image": images,
@@ -123,7 +156,8 @@ class GeneratorEpochSource:
 
 
 def data_generator(dataset, config, shuffle=True, augment=False,
-                   augmentation=None, mode="training", error_limit=5):
+                   augmentation=None, mode="training", error_limit=5,
+                   seed=0, norm=True):
     """Endless python-generator batch source — the reference's legacy
     `data_generator` surface (myolo_utils.py:457-686), including its
     skip-after-logging error policy (errors on one image are logged and the
@@ -133,6 +167,8 @@ def data_generator(dataset, config, shuffle=True, augment=False,
     Yields the same fixed-shape batch dicts as BatchGenerator. Unlike the
     preload path this re-reads (and re-augments) images every epoch, so it
     suits datasets too large to preload or with stochastic augmentation.
+    seed drives shuffling, the `augment` flip and GT subsampling;
+    norm=False is the debug mode (see BatchGenerator).
     """
     import logging
 
@@ -140,7 +176,7 @@ def data_generator(dataset, config, shuffle=True, augment=False,
 
     b = config.BATCH_SIZE
     image_ids = np.copy(dataset.image_ids)
-    rng = np.random.RandomState(0)
+    rng = np.random.RandomState(seed)
     index, errors = -1, 0
     items = []
     while True:
@@ -151,8 +187,8 @@ def data_generator(dataset, config, shuffle=True, augment=False,
         try:
             image, cids, boxes, masks = load_image_gt(
                 dataset, config, image_id, augment=augment,
-                augmentation=augmentation)
-            ids, bxs, msks = pack_gt(cids, boxes, masks, config)
+                augmentation=augmentation, rng=rng)
+            ids, bxs, msks = pack_gt(cids, boxes, masks, config, rng=rng)
             errors = 0
         except Exception:
             logging.exception("Error processing image %s",
@@ -161,7 +197,7 @@ def data_generator(dataset, config, shuffle=True, augment=False,
             if errors > error_limit:
                 raise
             continue
-        items.append((image.astype(np.float32) / 255.0, ids, bxs, msks))
+        items.append((np.ascontiguousarray(image, dtype=np.uint8), ids, bxs, msks))
         if len(items) < b:
             continue
         images = np.stack([it[0] for it in items])
@@ -170,6 +206,8 @@ def data_generator(dataset, config, shuffle=True, augment=False,
         gt_masks = np.stack([it[3] for it in items])
         items = []
         yolo_target, true_boxes = encode_batch(gt_boxes, gt_ids, config)
+        if not norm:
+            images = _debug_draw_batch(images, gt_boxes, gt_ids)
         batch = {"image": images, "true_boxes": true_boxes,
                  "yolo_target": yolo_target}
         if mode == "training":

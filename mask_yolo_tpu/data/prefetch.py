@@ -35,30 +35,52 @@ class DevicePrefetcher:
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.size)
         err = []
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            """q.put that gives up when the consumer abandoned iteration —
+            otherwise the worker would block forever on a full queue, pinning
+            up to `size` staged device batches for the session's lifetime."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for i in range(len(self.source)):
+                    if stop.is_set():
+                        return
                     batch = self.source[i]
                     if self.sharding is not None:
-                        batch = {k: jax.device_put(v, self.sharding)
+                        from ..parallel.mesh import place_batch_array
+                        batch = {k: place_batch_array(v, self.sharding)
                                  for k, v in batch.items()}
                     else:
                         batch = {k: jax.device_put(v)
                                  for k, v in batch.items()}
-                    q.put(batch)
+                    if not put(batch):
+                        return
             except Exception as e:  # surface in the consumer thread
                 err.append(e)
             finally:
-                q.put(None)
+                put(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+            t.join()
+        finally:
+            # reached on break above, on generator .close() (consumer loop
+            # raised / returned early), and on GC of a half-consumed iterator
+            stop.set()
         if err:
             raise err[0]

@@ -33,7 +33,11 @@ class ShapesConfig(Config):
     ANCHORS = [1.27273, 1.277385, 2.47446, 2.56253, 4.03843, 4.07434]
     N_BOX = 3
     TRAIN_ROIS_PER_IMAGE = Config.GRID_H * Config.GRID_W * 3
-    USE_MINI_MASK = False
+    # mini-masks: ship 56²-cropped GT masks instead of full 224² canvases —
+    # ~16× less host→device transfer on the upload-bound training path
+    # (docs/PERFORMANCE.md "Training"); the device-side target crop handles
+    # both representations (ops/target_assign.py)
+    USE_MINI_MASK = True
     # train BN in batch-stats mode: Shapes trains from scratch (no pretrained
     # stats to freeze); the reference's Keras BNs behave this way implicitly
     TRAIN_BN = True

@@ -33,6 +33,17 @@ from .ops.roi_align import paste_masks
 from .ops.target_assign import assign_mask_targets
 
 
+def images_f32(images):
+    """Accept uint8 images and normalize on device. Shipping uint8 over the
+    host→device link is 4× less transfer than pre-normalized float32 — and
+    the training path is upload-bound through this runner's RPC tunnel
+    (docs/PERFORMANCE.md "Training"). /255 on device is bit-identical to
+    /255 on host for uint8 inputs. Float inputs pass through unchanged."""
+    if images.dtype == jnp.uint8:
+        return images.astype(jnp.float32) / 255.0
+    return images
+
+
 # ---------------------------------------------------------------------------
 # Training forward
 # ---------------------------------------------------------------------------
@@ -47,7 +58,7 @@ def training_loss(net, variables, batch, config, seen, train: bool = True,
     graph, model.py:872-901).
 
     batch dict:
-      image:        [B, H, W, 3] float in [0, 1]
+      image:        [B, H, W, 3] uint8 (normalized on device) or float in [0, 1]
       yolo_target:  [B, gh, gw, nb, 5+C]
       true_boxes:   [B, 1, 1, 1, T, 4] grid units
       gt_class_ids: [B, G] int32, zero-padded
@@ -68,7 +79,9 @@ def training_loss(net, variables, batch, config, seen, train: bool = True,
                         mutable=mutable)
         return out if mutable else (out, {})
 
-    (grid, fmap), updates = apply(net.trunk, batch["image"])
+    # FPN configs route through trunk_pyramid: fmap is then the (P3, P4, P5)
+    # tuple and the mask head pools each ROI from its FPN-assigned level
+    (grid, fmap), updates = apply(net.pick_trunk(), images_f32(batch["image"]))
 
     h, w = config.IMAGE_SHAPE[:2]
     # decode proposals in normalized coords (DecodeYOLOLayer, model.py:874)
@@ -131,7 +144,7 @@ def yolo_only_loss(net, variables, batch, config, seen, train: bool = True,
     (reference model.py:906-920)."""
     bn_train = train and config.TRAIN_BN
     mutable = ["batch_stats"] if bn_train else False
-    out = net.apply(variables, batch["image"], train=bn_train,
+    out = net.apply(variables, images_f32(batch["image"]), train=bn_train,
                     method=net.trunk, mutable=mutable)
     if mutable:
         (grid, _fmap), updates = out
@@ -164,7 +177,8 @@ def infer_yolo_outputs(net, variables, images, config):
       classes[B, N]    int32 winning class
       valid  [B, N]    bool (score > OBJ_THRESHOLD)
     """
-    grid, _ = net.apply(variables, images, train=False, method=net.trunk)
+    grid, _ = net.apply(variables, images_f32(images), train=False,
+                        method=net.trunk)
     boxes = decode_yolo_proposals(grid, config.anchors_wh,
                                   config.GRID_H, config.GRID_W)
     b = grid.shape[0]
@@ -203,7 +217,7 @@ def detect_outputs(net, variables, images, config, score_threshold=None):
       valid   [B, K] bool
     """
     trunk = lambda imgs: net.apply(variables, imgs, train=False,
-                                   method=net.trunk)
+                                   method=net.pick_trunk())
     mask_branch = lambda rois, fmap: net.apply(variables, rois, fmap,
                                                train=False,
                                                method=net.mask_branch)
@@ -225,7 +239,7 @@ def detect_from_callables(trunk, mask_branch, images, config,
     k = config.DETECTION_MAX_INSTANCES
     h, w = config.IMAGE_SHAPE[:2]
 
-    grid, fmap = trunk(images)
+    grid, fmap = trunk(images_f32(images))
     det = decode_detections(grid, config.anchors_wh, config.GRID_H, config.GRID_W)
     boxes, scores, classes = det[..., :4], det[..., 4], det[..., 5].astype(jnp.int32)
 
@@ -248,18 +262,48 @@ def detect_from_callables(trunk, mask_branch, images, config,
         bx, cl, va, det_nms))(top_boxes, top_classes, valid)
     valid = valid & keep
 
-    # mask branch on the K survivors only (equivalence note in module docstring)
+    # MASK_TOP_K: run the mask branch (and paste) only on the kp highest-
+    # scoring NMS SURVIVORS instead of all K slots. Slots are re-sorted
+    # valid-first (score order preserved within each group) so survivors
+    # occupy the leading slots; output is an identical set of detections as
+    # long as ≤ kp boxes survive NMS — only the slot ordering changes. At
+    # the 416²/K=100 point the mask branch is ~565 µs/img and scales
+    # linearly in K (docs/PERFORMANCE.md), while real images rarely carry
+    # anywhere near 100 instances — kp=32 keeps >3 σ headroom on COCO-like
+    # scenes at ~3× less mask compute. 0/None (default) = exact K-slot path.
+    kp = int(getattr(config, "MASK_TOP_K", 0) or 0)
+    kp = min(kp, k) if kp > 0 else k
+    if kp < k:
+        sort_key = jnp.where(valid, top_scores + 2.0, top_scores)
+        _, order = jax.lax.top_k(sort_key, k)
+        top_boxes = jnp.take_along_axis(top_boxes, order[..., None], axis=1)
+        top_scores = jnp.take_along_axis(top_scores, order, axis=1)
+        top_classes = jnp.take_along_axis(top_classes, order, axis=1)
+        valid = jnp.take_along_axis(valid, order, axis=1)
+    mask_boxes = top_boxes[:, :kp]
+    mask_classes = top_classes[:, :kp]
+
+    # mask branch on the kp (≤ K) survivors only (equivalence note in module
+    # docstring: the reference masks all 245 decoded boxes, model.py:926-931)
     if fused_mask is not None:
-        sel_masks = fused_mask(top_boxes, fmap, top_classes)  # [B, K, mh, mw]
+        sel_masks = fused_mask(mask_boxes, fmap, mask_classes)  # [B, kp, mh, mw]
     else:
-        pred_masks = mask_branch(top_boxes, fmap)  # [B, K, mh, mw, C]
-        onehot = jax.nn.one_hot(top_classes, config.NUM_CLASSES,
+        pred_masks = mask_branch(mask_boxes, fmap)  # [B, kp, mh, mw, C]
+        onehot = jax.nn.one_hot(mask_classes, config.NUM_CLASSES,
                                 dtype=pred_masks.dtype)
         sel_masks = jnp.einsum("bkhwc,bkc->bkhw", pred_masks, onehot)
 
-    # paste into full-image canvas + threshold 0.5 (unmold_mask equivalent)
-    full = jax.vmap(lambda m, bx: paste_masks(m, bx, (h, w)))(sel_masks, top_boxes)
-    full_bool = (full >= 0.5) & valid[..., None, None]
+    # paste into full-image canvas + threshold 0.5 (unmold_mask equivalent);
+    # bf16 configs paste at MXU precision (see ops/roi_align.paste_masks)
+    paste_dtype = (jnp.bfloat16 if config.COMPUTE_DTYPE == "bfloat16"
+                   else jnp.float32)
+    full = jax.vmap(lambda m, bx: paste_masks(m, bx, (h, w),
+                                              dtype=paste_dtype))(
+        sel_masks, mask_boxes)
+    full_bool = (full >= 0.5) & valid[:, :kp, None, None]
+    if kp < k:  # slots beyond kp carry no mask (all-False canvas)
+        full_bool = jnp.pad(full_bool,
+                            ((0, 0), (0, k - kp), (0, 0), (0, 0)))
 
     boxes_px = top_boxes * jnp.asarray([w, h, w, h], dtype=jnp.float32)
     return {

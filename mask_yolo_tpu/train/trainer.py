@@ -60,9 +60,23 @@ def make_eval_step(net, config, mode: str = "training"):
     return eval_step
 
 
+class _LimitedSource:
+    """Length-capped view of a batch source (STEPS_PER_EPOCH semantics)."""
+
+    def __init__(self, source, max_steps: int):
+        self.source = source
+        self.max_steps = max_steps
+
+    def __len__(self):
+        return min(len(self.source), self.max_steps)
+
+    def __getitem__(self, i):
+        return self.source[i]
+
+
 def run_epoch(train_step, state, generator, mesh=None, log_every: int = 10,
               verbose: bool = True, profile_dir=None, profile_steps=(2, 5),
-              prefetch: int = 2):
+              prefetch: int = 2, max_steps: int = 0):
     """One pass over the generator. Returns (state, last_metrics).
 
     profile_dir: if set, capture a jax.profiler trace (viewable in
@@ -71,10 +85,14 @@ def run_epoch(train_step, state, generator, mesh=None, log_every: int = 10,
     graph callback (model.py:1024-1027; SURVEY.md §5 tracing row).
     prefetch: stage this many batches ahead on device from a background
     thread (0 disables) so host batch prep + transfer overlap compute.
+    max_steps: positive = cap the epoch at this many steps (the
+    STEPS_PER_EPOCH knob, reference config.py:62); 0 = full generator.
     """
     from ..data.prefetch import DevicePrefetcher
     from ..parallel.mesh import batch_sharding, shard_batch
 
+    if max_steps and max_steps > 0:
+        generator = _LimitedSource(generator, int(max_steps))
     metrics = {}
     t0 = time.perf_counter()
     tracing = False

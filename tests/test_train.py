@@ -194,3 +194,63 @@ def test_train_with_augmentation_uses_generator(tmp_path):
     import os
     assert os.path.exists(str(tmp_path / "config.json"))
     assert os.path.exists(str(tmp_path / "history.jsonl"))
+
+
+def test_steps_per_epoch_caps_run_epoch(setup):
+    """STEPS_PER_EPOCH wiring: max_steps caps the epoch (VERDICT r1 weak #5)."""
+    cfg, net, variables, gen = setup
+    tx = state_lib.make_optimizer(1e-3, cfg)
+    step = trainer_lib.make_train_step(net, cfg, tx, mode="training")
+    s = state_lib.create_train_state(
+        fresh(variables["params"]), fresh(variables.get("batch_stats", {})), tx)
+    assert len(gen) >= 1
+    s, _ = trainer_lib.run_epoch(step, s, gen, mesh=None, verbose=False,
+                                 prefetch=2, max_steps=1)
+    assert int(s.step) == 1
+    # 0 = unlimited (full generator)
+    s, _ = trainer_lib.run_epoch(step, s, gen, mesh=None, verbose=False,
+                                 prefetch=0, max_steps=0)
+    assert int(s.step) == 1 + len(gen)
+
+
+def test_steps_knobs_honored_by_train(tmp_path):
+    """MaskYOLO.train honors STEPS_PER_EPOCH and VALIDATION_STEPS."""
+    from conftest import TinyConfig
+
+    from mask_yolo_tpu import MaskYOLO
+    from mask_yolo_tpu.data.shapes import ShapesDataset
+
+    class Cfg(TinyConfig):
+        NUM_CLASSES = 4
+        LABELS = ["background", "square", "circle", "triangle"]
+        BATCH_SIZE = 4
+        STEPS_PER_EPOCH = 1   # dataset has 8/4 = 2 batches; cap to 1
+        VALIDATION_STEPS = 1
+
+    cfg = Cfg()
+    tr = ShapesDataset(); tr.load_shapes(8, 64, 64, seed=0); tr.prepare()
+    va = ShapesDataset(); va.load_shapes(8, 64, 64, seed=1); va.prepare()
+    m = MaskYOLO(mode="training", config=cfg, model_dir=str(tmp_path))
+    state = m.train(tr, va, learning_rate=1e-3, epochs=2, layers="all",
+                    verbose=False)
+    # 2 epochs × 1 capped step
+    assert int(state.step) == 2
+
+
+def test_prefetcher_early_abandon_does_not_hang(setup):
+    """Consumer abandoning iteration mid-epoch must not leave the worker
+    blocked on a full queue (ADVICE r1: prefetch.py q.put deadlock)."""
+    import threading
+    import time
+
+    from mask_yolo_tpu.data.prefetch import DevicePrefetcher
+
+    cfg, _, _, gen = setup
+    before = threading.active_count()
+    it = iter(DevicePrefetcher(gen, None, size=1))
+    next(it)          # worker is now staging ahead / blocked on the queue
+    it.close()        # abandon iteration
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "prefetch worker still alive"
