@@ -23,6 +23,9 @@ class MaskHead(nn.Module):
     conv_features: int = 256
     dtype: jnp.dtype = jnp.float32
     axis_name: str | None = None
+    # pixel size of the network input — used only by the FPN multi-level
+    # path to convert normalized ROI extents to pixels for level assignment
+    image_hw: tuple = (224, 224)
 
     @nn.compact
     def __call__(self, rois, feature_map, train: bool = False):
@@ -36,8 +39,10 @@ class MaskHead(nn.Module):
         """
         b, r = rois.shape[:2]
         if isinstance(feature_map, (tuple, list)):
+            # (P3, P4, P5) fine→coarse; canonical_level=1 is FPN's k0=4 (=P4)
             x = multilevel_crop_and_resize(
-                tuple(feature_map), rois, (self.pool_size, self.pool_size))
+                tuple(feature_map), rois, (self.pool_size, self.pool_size),
+                image_hw=tuple(self.image_hw), canonical_level=1)
             x = x.astype(self.dtype)
         else:
             x = crop_and_resize(feature_map, rois,

@@ -33,6 +33,7 @@ class MaskYoloNet(nn.Module):
     backbone: str = "mobilenet"
     compute_dtype: str = "float32"
     axis_name: str | None = None
+    image_hw: tuple = (224, 224)
 
     def setup(self):
         dt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
@@ -52,7 +53,8 @@ class MaskYoloNet(nn.Module):
         self.yolo = YoloHead(self.n_box, self.num_classes, dtype=dt,
                              axis_name=self.axis_name, name="yolo")
         self.mask = MaskHead(self.num_classes, self.mask_pool_size, dtype=dt,
-                             axis_name=self.axis_name, name="mask")
+                             axis_name=self.axis_name,
+                             image_hw=tuple(self.image_hw), name="mask")
 
     def trunk(self, image, train: bool = False):
         """image [B, H, W, 3] float in [0, 1] → (yolo_grid, mask_feature_map)."""
@@ -74,6 +76,13 @@ class MaskYoloNet(nn.Module):
     def mask_branch(self, rois, fmap, train: bool = False):
         """rois [B, R, 4] normalized → [B, R, 28, 28, C] sigmoid masks."""
         return self.mask(rois, fmap, train)
+
+    def pick_trunk(self):
+        """The trunk the pipelines should use: FPN backbones feed the mask
+        branch from the (P3, P4, P5) pyramid via true multi-level ROIAlign;
+        everything else uses the fused single-level map (the reference's
+        clamped PyramidROIAlign, model.py:353-354)."""
+        return self.trunk_pyramid if self.backbone == "resnet50_fpn" else self.trunk
 
     def __call__(self, image, rois, train: bool = False):
         """Full forward touching every parameter (used for init)."""

@@ -106,7 +106,7 @@ def crop_and_resize_per_roi(images, boxes, crop_size, dtype=jnp.float32):
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def multilevel_crop_and_resize(features, boxes, crop_size,
                                image_hw=(224, 224), canonical_scale=224.0,
-                               canonical_level=2):
+                               canonical_level=1):
     """True multi-level (FPN) ROIAlign — the generalization the reference
     carries but clamps to one level (PyramidROIAlign, model.py:350-354
     constrains roi_level to 0; SURVEY.md §7 step 7 restores it).
@@ -117,7 +117,10 @@ def multilevel_crop_and_resize(features, boxes, crop_size,
     this give pixel extents). Level assignment is FPN eq. 1: an ROI of
     `canonical_scale` pixels maps to features[canonical_level], and each
     ×2 in scale moves one level coarser (reference model.py:350-354, which
-    writes it in normalized coordinates).
+    writes it in normalized coordinates). `canonical_level` is the INDEX of
+    the k0 level in the fine→coarse `features` tuple: for a (P3, P4, P5)
+    pyramid FPN's k0=4 is P4 = index 1 (the default); callers with a
+    different pyramid must pass the k0 index explicitly.
 
     TPU-static implementation: crop from EVERY level (the [B, R, ph, pw, C]
     crops are tiny) and one-hot combine — no data-dependent gathers, fully
@@ -150,28 +153,37 @@ def paste_masks(masks, boxes, image_size, dtype=jnp.float32):
     Construction: for image pixel y the source mask coordinate is
     (y/(H-1) - y1) / (y2 - y1) * (mh - 1); weights form a [R, H, mh] matrix
     (rows outside the box are zero), so pasting is again two contractions.
+
+    dtype: contraction dtype. The weight COORDINATES are always computed in
+    f32 (precision-sensitive); only the contractions run in `dtype`.
+    float32 contracts at Precision.HIGHEST for bit-parity with the host
+    oracle; bfloat16 runs at default MXU precision — at the 416²/K=100
+    operating point that is 221 → 40 µs/img (docs/PERFORMANCE.md), and the
+    only observable difference is sub-ULP wobble of borderline 0.5-threshold
+    pixels on mask edges.
     """
     r, mh, mw = masks.shape
     h, w = image_size
-    boxes = jax.lax.stop_gradient(boxes).astype(dtype)
+    boxes = jax.lax.stop_gradient(boxes).astype(jnp.float32)
     x1, y1, x2, y2 = (boxes[..., i] for i in range(4))
 
     def paste_matrix(lo, hi, out_size, m_size):
-        # coordinate of each output pixel inside the mask
-        pix = jnp.arange(out_size, dtype=dtype) / max(out_size - 1, 1)  # [H] in 0..1
+        # coordinate of each output pixel inside the mask (f32 always)
+        pix = jnp.arange(out_size, dtype=jnp.float32) / max(out_size - 1, 1)
         span = jnp.maximum(hi - lo, 1e-8)[..., None]
         coords = (pix - lo[..., None]) / span * (m_size - 1)  # [R, H]
-        grid = jnp.arange(m_size, dtype=dtype)
+        grid = jnp.arange(m_size, dtype=jnp.float32)
         # pixels slightly past the box edge still belong to the box outline;
         # clamp their sample coordinate to the border value
         inside = (coords >= -0.5) & (coords <= (m_size - 1) + 0.5)
         coords = jnp.clip(coords, 0.0, m_size - 1)
         wgt = jnp.maximum(0.0, 1.0 - jnp.abs(coords[..., None] - grid))  # [R, H, m]
-        return wgt * inside[..., None].astype(dtype)
+        return (wgt * inside[..., None]).astype(dtype)
 
     py = paste_matrix(y1, y2, h, mh)  # [R, H, mh]
     px = paste_matrix(x1, x2, w, mw)  # [R, W, mw]
     m = masks.astype(dtype)
-    prec = jax.lax.Precision.HIGHEST
+    prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     tmp = jnp.einsum("rhm,rmn->rhn", py, m, precision=prec)
     return jnp.einsum("rhn,rwn->rhw", tmp, px, precision=prec)
