@@ -26,17 +26,26 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def build_mesh(config=None, devices=None) -> Mesh:
-    """Build a (data, model) mesh. DATA_PARALLEL=0 means 'all devices / MP'."""
+def build_mesh(config=None, devices=None, batch_size: int = 0) -> Mesh:
+    """Build a (data, model) mesh. DATA_PARALLEL=0 means 'all devices / MP'.
+
+    batch_size > 0 (the GLOBAL batch): when DATA_PARALLEL is auto, shrink the
+    data axis to the largest size dividing the batch, so small debug batches
+    train on a device subset instead of failing the batch-sharding
+    divisibility check. An explicit DATA_PARALLEL is honored as given (and
+    must tile the devices exactly with MODEL_PARALLEL)."""
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     mp = int(getattr(config, "MODEL_PARALLEL", 1) or 1) if config is not None else 1
     dp = int(getattr(config, "DATA_PARALLEL", 0) or 0) if config is not None else 0
     if dp == 0:
-        dp = n // mp
-    assert dp * mp == n, f"mesh {dp}x{mp} != {n} devices"
-    dev_array = np.asarray(devices).reshape(dp, mp)
+        dp = max(n // mp, 1)
+        if batch_size > 0:
+            while dp > 1 and batch_size % dp != 0:
+                dp -= 1
+    assert dp * mp <= n, f"mesh {dp}x{mp} > {n} devices"
+    dev_array = np.asarray(devices)[: dp * mp].reshape(dp, mp)
     return Mesh(dev_array, axis_names=("data", "model"))
 
 
@@ -49,10 +58,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def place_batch_array(v, sharding):
+    """Put one host array onto the mesh under `sharding`. Multi-process
+    (jax.distributed) runs treat `v` as this process's LOCAL shard and
+    assemble the global array (parallel/distributed.py recipe); single
+    process is a plain device_put."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, np.asarray(v))
+    return jax.device_put(v, sharding)
+
+
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Place a host batch dict onto the mesh, batch-axis sharded."""
+    """Place a host batch dict onto the mesh, batch-axis sharded. In
+    multi-host runs each process passes its local shard (see
+    parallel/distributed.py)."""
     sh = batch_sharding(mesh)
-    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    return {k: place_batch_array(v, sh) for k, v in batch.items()}
 
 
 def replicate_tree(tree, mesh: Mesh):
