@@ -36,6 +36,33 @@ from .train import state as state_lib
 from .train import trainer as trainer_lib
 
 
+def _deep_merge_by_name(current, loaded, exclude: set, report: dict,
+                        _path: str = ""):
+    """Leaf-wise by-name merge of `loaded` into `current` (Keras by_name
+    semantics): a leaf is taken iff the same path exists in `current` with
+    the same shape; mismatches are recorded in report['shape_mismatch']."""
+    import numpy as _np
+
+    if not isinstance(current, dict) or not isinstance(loaded, dict):
+        cur = _np.asarray(current)
+        new = _np.asarray(loaded)
+        if cur.shape != new.shape:
+            report["shape_mismatch"].append(
+                f"{_path}: have {cur.shape}, file has {new.shape}")
+            return current
+        return jnp.asarray(new, dtype=cur.dtype)
+    merged = dict(current)
+    for k, v in loaded.items():
+        if k in exclude:
+            continue
+        if k in merged:
+            merged[k] = _deep_merge_by_name(merged[k], v, exclude, report,
+                                            f"{_path}/{k}" if _path else k)
+        else:
+            report.setdefault("skipped", []).append(f"{_path}/{k}")
+    return merged
+
+
 class MaskYOLO:
     """Build/train/infer orchestrator. See module docstring."""
 
@@ -54,6 +81,7 @@ class MaskYOLO:
         self._train_step = None
         self._detect_fn = None
         self._infer_yolo_fn = None
+        self._qdet = None
         self.build(mode=mode, config=config)
 
     # -- construction --------------------------------------------------------
@@ -76,6 +104,7 @@ class MaskYOLO:
             mask_pool_size=config.MASK_POOL_SIZE,
             backbone=config.BACKBONE,
             compute_dtype=config.COMPUTE_DTYPE,
+            image_hw=(h, w),
         )
         rng = jax.random.PRNGKey(self.seed)
         dummy_img = jnp.zeros((1, h, w, 3), jnp.float32)
@@ -90,8 +119,12 @@ class MaskYOLO:
 
         if self.yolo_pretrain_dir is not None:
             # load pretrained backbone+YOLO-branch weights and optionally
-            # freeze them (reference model.py:854-868)
-            self.load_weights(self.yolo_pretrain_dir, by_name=True)
+            # freeze them (reference model.py:854-868). Keras .h5 files from
+            # the reference codebase are converted on the fly (utils/keras_h5)
+            if str(self.yolo_pretrain_dir).endswith((".h5", ".hdf5")):
+                self.load_weights_from_keras_h5(self.yolo_pretrain_dir)
+            else:
+                self.load_weights(self.yolo_pretrain_dir, by_name=True)
 
     @property
     def variables(self):
@@ -100,7 +133,9 @@ class MaskYOLO:
     @property
     def mesh(self):
         if self._mesh is None:
-            self._mesh = build_mesh(self.config)
+            # global batch = per-process BATCH_SIZE × processes (multi-host)
+            gbs = int(self.config.BATCH_SIZE) * max(jax.process_count(), 1)
+            self._mesh = build_mesh(self.config, batch_size=gbs)
         return self._mesh
 
     # -- training ------------------------------------------------------------
@@ -108,7 +143,14 @@ class MaskYOLO:
     def compile(self, learning_rate, momentum=None, layer_regex: str = ".*"):
         """Create the optimizer (Adam, reference model.py:1071-1075) and the
         jitted train step. `momentum` is accepted for signature parity; Adam
-        ignores it exactly like the reference does."""
+        ignores it exactly like the reference does.
+
+        yolo_trainable=False freezes backbone AND yolo head: the reference
+        builds the whole image→yolo_output sub-model and sets trainable on
+        EVERY layer in that path — which includes the mobilenet graph —
+        (model.py:861-868: KM.Model([input_image, ...], [yolo_output]);
+        `for layer in model.layers: layer.trainable = self.yolo_trainable`),
+        so ("backbone", "yolo") is the faithful scope."""
         frozen = () if self.yolo_trainable else ("backbone", "yolo")
         self._tx = state_lib.make_optimizer(
             learning_rate, self.config, params=self.params,
@@ -147,8 +189,11 @@ class MaskYOLO:
             # the one-shot preload
             from .data.pipeline import GeneratorEpochSource, data_generator
 
-            steps = int(np.ceil(len(train_dataset.image_ids)
-                                / self.config.BATCH_SIZE))
+            # floor, not ceil: data_generator only emits full B-sized batches
+            # (the remainder rolls into the next pull), so ceil would drift
+            # the epoch boundary off the dataset pass / shuffle point
+            steps = max(1, len(train_dataset.image_ids)
+                        // self.config.BATCH_SIZE)
             train_gen = GeneratorEpochSource(
                 data_generator(train_dataset, self.config, shuffle=True,
                                augmentation=augmentation, mode=mode),
@@ -196,13 +241,17 @@ class MaskYOLO:
                 print(f"Epoch {epoch + 1}/{epochs}")
             state, metrics = trainer_lib.run_epoch(
                 self._train_step, state, train_gen, mesh=mesh, verbose=verbose,
-                profile_dir=profile_dir if epoch == start_epoch else None)
+                profile_dir=profile_dir if epoch == start_epoch else None,
+                max_steps=int(getattr(self.config, "STEPS_PER_EPOCH", 0) or 0))
             train_gen.on_epoch_end()
 
-            # validation (reference: fit_generator validation_data)
+            # validation (reference: fit_generator validation_data), capped
+            # by VALIDATION_STEPS when positive (reference config.py:67)
             val_metrics = []
             from .parallel.mesh import shard_batch
-            for i in range(len(val_gen)):
+            val_steps = int(getattr(self.config, "VALIDATION_STEPS", 0) or 0)
+            n_val = min(len(val_gen), val_steps) if val_steps > 0 else len(val_gen)
+            for i in range(n_val):
                 val_metrics.append(eval_step(state, shard_batch(val_gen[i], mesh)))
             val_loss = float(np.mean([float(m["loss"]) for m in val_metrics]))
             if verbose:
@@ -226,6 +275,7 @@ class MaskYOLO:
 
         self.params = jax.device_get(state.params)
         self.batch_stats = jax.device_get(state.batch_stats)
+        self._invalidate_infer_fns()  # weights changed; drop cached/quantized graphs
         return state
 
     def _rotate_checkpoints(self):
@@ -261,6 +311,7 @@ class MaskYOLO:
     def load_weights(self, filepath, by_name=False, exclude=None):
         """Restore params (and batch stats) from an orbax checkpoint, with the
         reference's by_name/exclude subtree semantics (model.py:1157-1196)."""
+        self._invalidate_infer_fns()
         ckpt = state_lib.load_checkpoint(filepath)
         self.params = state_lib.merge_params(self.params, ckpt["params"],
                                              by_name=by_name, exclude=exclude)
@@ -269,7 +320,33 @@ class MaskYOLO:
                 self.batch_stats, ckpt["batch_stats"],
                 by_name=by_name, exclude=exclude)
 
+    def load_weights_from_keras_h5(self, filepath, exclude=None):
+        """Load weights from a Keras-2 h5 file written by the REFERENCE
+        codebase (pretrained YOLO branch, model.py:854-868, or a full
+        ModelCheckpoint file, model.py:1026). Layers are merged by name with
+        shape checking (Keras by_name semantics); `exclude` skips top-level
+        modules (e.g. ["mask"]). Returns the conversion report dict."""
+        from .utils import keras_h5
+
+        self._invalidate_infer_fns()
+        params, stats, report = keras_h5.load_keras_h5(filepath)
+        report.setdefault("shape_mismatch", [])
+        self.params = _deep_merge_by_name(self.params, params,
+                                          set(exclude or ()), report)
+        self.batch_stats = _deep_merge_by_name(self.batch_stats, stats,
+                                               set(exclude or ()), report)
+        return report
+
     # -- inference -------------------------------------------------------------
+
+    def _invalidate_infer_fns(self):
+        """Drop cached inference callables. A quantized detect path closes
+        over a weight snapshot (quant.py), so any weight change (load_weights,
+        train) must invalidate it or detect would silently keep serving the
+        stale graph."""
+        self._detect_fn = None
+        self._infer_yolo_fn = None
+        self._qdet = None
 
     def _ensure_infer_fns(self):
         if self._detect_fn is None:
@@ -292,7 +369,11 @@ class MaskYOLO:
         [N, H, W, 3] float in [0, 1] used for activation-range calibration.
 
         New capability vs the float32-only reference; on the TPU MXU the int8
-        conv stack runs ~4.5x faster than bfloat16."""
+        conv stack runs ~4.5x faster than bfloat16.
+
+        The quantized graph snapshots the current weights: any later
+        load_weights()/train() invalidates it (detect falls back to the float
+        path with the new weights) — re-call quantize() to re-quantize."""
         from .quant import QuantizedDetector
 
         qdet = QuantizedDetector.from_variables(
