@@ -89,28 +89,24 @@ def index_order_class_nms_mask(boxes, class_ids, valid, iou_threshold: float):
     *index* order (not score order); box i suppresses every later box j with
     the same class id and IoU >= threshold. Returns a keep mask.
 
-    boxes: [N, 4] normalized; class_ids: [N] int; valid: [N] bool.
+    NMB quirk preserved: the reference never checks whether box i was itself
+    removed, so an already-suppressed box STILL suppresses later boxes
+    (chain suppression — myolo_utils.py:100-109 has no membership test on
+    index_i). This makes every i's suppression row independent of the keep
+    state, so the whole pass is one dense matrix reduction — no sequential
+    loop at all.
+
+    boxes: [N, 4] normalized; class_ids: [N] int; valid: [N] bool (invalid
+    slots — below-threshold padding the reference's NMB never saw — neither
+    suppress nor survive).
     """
     n = boxes.shape[0]
     iou = box_iou_matrix(boxes, boxes)
     later = jnp.arange(n)[None, :] > jnp.arange(n)[:, None]
     same_class = class_ids[:, None] == class_ids[None, :]
-
-    def body(i, keep):
-        active = keep[i] & valid[i]
-        suppress = active & later[i] & same_class[i] & (iou[i] >= iou_threshold) & valid
-        return keep & ~suppress
-
-    if n <= 32:
-        # unrolled: n tiny vector steps fuse into one XLA kernel instead of a
-        # sequential fori_loop whose every trip pays kernel-launch latency
-        # (measured ~11 µs/img at n=10, batch 64 — the loop was ~28% of the
-        # whole detect pipeline)
-        keep = valid
-        for i in range(n):
-            keep = body(i, keep)
-        return keep
-    return jax.lax.fori_loop(0, n, body, valid)
+    suppressed_by = (valid[:, None] & later & same_class
+                     & (iou >= iou_threshold))  # [i, j]: i removes j
+    return valid & ~jnp.any(suppressed_by, axis=0)
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))

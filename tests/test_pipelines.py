@@ -151,3 +151,68 @@ def test_data_generator_legacy_surface(tiny_config):
     ds.load_image = flaky
     gen2 = data_generator(ds, cfg, shuffle=False)
     assert next(gen2)["image"].shape[0] == 2
+
+
+def test_mask_top_k_equivalent_when_few_survivors(tiny_net_and_vars, rng):
+    """MASK_TOP_K < K yields the same detection SET (boxes/scores/classes/
+    masks per valid slot) whenever the number of NMS survivors fits — only
+    the slot ordering may change (valid-first re-sort)."""
+    cfg, net, variables = tiny_net_and_vars
+    images = jnp.asarray(rng.rand(2, *cfg.IMAGE_SHAPE).astype(np.float32))
+
+    exact = jax.device_get(pipelines.detect_outputs(net, variables, images, cfg))
+    n_valid = exact["valid"].sum(axis=1)
+
+    class TopKCfg(type(cfg)):
+        MASK_TOP_K = 2
+
+    cfgk = TopKCfg()
+    topk = jax.device_get(pipelines.detect_outputs(net, variables, images, cfgk))
+
+    for b in range(2):
+        if n_valid[b] > cfgk.MASK_TOP_K:
+            continue  # documented deviation domain
+        def rows(out):
+            idx = np.where(out["valid"][b])[0]
+            return sorted(
+                (round(float(out["scores"][b, i]), 5),
+                 int(out["classes"][b, i]),
+                 tuple(np.round(out["boxes"][b, i], 3)),
+                 int(out["masks"][b, i].sum()))
+                for i in idx)
+        assert rows(exact) == rows(topk)
+    # slots beyond MASK_TOP_K never carry a mask
+    assert not topk["masks"][:, cfgk.MASK_TOP_K:].any()
+
+
+def test_uint8_images_match_float(tiny_net_and_vars, rng):
+    """uint8 batches (normalized on device) are bit-identical to host-
+    normalized float batches — /255 commutes with the transfer."""
+    cfg, net, variables = tiny_net_and_vars
+    raw = (rng.rand(2, *cfg.IMAGE_SHAPE) * 255).astype(np.uint8)
+    out_u8 = jax.device_get(pipelines.detect_outputs(
+        net, variables, jnp.asarray(raw), cfg))
+    out_f32 = jax.device_get(pipelines.detect_outputs(
+        net, variables, jnp.asarray(raw.astype(np.float32) / 255.0), cfg))
+    np.testing.assert_array_equal(out_u8["scores"], out_f32["scores"])
+    np.testing.assert_array_equal(out_u8["masks"], out_f32["masks"])
+
+    # training loss too
+    b, g = 2, cfg.MAX_GT_INSTANCES
+    h, w = cfg.IMAGE_SHAPE[:2]
+    base = {
+        "yolo_target": jnp.zeros((b, cfg.GRID_H, cfg.GRID_W, cfg.N_BOX,
+                                  5 + cfg.NUM_CLASSES), jnp.float32),
+        "true_boxes": jnp.zeros((b, 1, 1, 1, cfg.TRUE_BOX_BUFFER, 4), jnp.float32),
+        "gt_class_ids": jnp.zeros((b, g), jnp.int32),
+        "gt_boxes": jnp.zeros((b, g, 4), jnp.float32),
+        "gt_masks": jnp.zeros((b, h, w, g), bool),
+    }
+    l_u8, _ = pipelines.training_loss(
+        net, variables, dict(base, image=jnp.asarray(raw)), cfg, seen=10.0)
+    l_f32, _ = pipelines.training_loss(
+        net, variables, dict(base, image=jnp.asarray(raw.astype(np.float32) / 255.0)),
+        cfg, seen=10.0)
+    # XLA may fuse the on-device u8→f32 divide into the first conv, which
+    # reassociates a rounding step — sub-ULP-scale wobble is expected
+    np.testing.assert_allclose(float(l_u8), float(l_f32), rtol=1e-5)
