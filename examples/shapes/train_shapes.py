@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--mode", choices=["training", "yolo"], default="training")
     ap.add_argument("--model-dir", default="./checkpoints/shapes")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--augment", action="store_true",
+                    help="seeded flip/rot90/scale/brightness augmentation "
+                         "(data/augment.default_augmenter)")
     args = ap.parse_args()
 
     config = ShapesConfig()
@@ -43,11 +46,16 @@ def main():
                             config.IMAGE_SHAPE[1], seed=args.seed + 1)
     dataset_val.prepare()
 
+    augmentation = None
+    if args.augment:
+        from mask_yolo_tpu.data.augment import default_augmenter
+        augmentation = default_augmenter(seed=args.seed)
+
     model = MaskYOLO(mode=args.mode, config=config, model_dir=args.model_dir,
                      seed=args.seed)
     model.train(dataset_train, dataset_val,
                 learning_rate=args.lr or config.LEARNING_RATE,
-                epochs=args.epochs, layers="all")
+                epochs=args.epochs, layers="all", augmentation=augmentation)
 
 
 if __name__ == "__main__":

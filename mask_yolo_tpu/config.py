@@ -87,6 +87,11 @@ class Config:
     MASK_POOL_SIZE = 14
     MASK_SHAPE = [28, 28]
     MAX_GT_INSTANCES = 10
+    # Train-time mask branch runs on only the top-M assignment slots
+    # (positives first) — loss-identical while an image has ≤ M positive
+    # proposals, and the branch cost is linear in M. 0 = all
+    # TRAIN_ROIS_PER_IMAGE slots (the reference's behavior, model.py:876-882).
+    MASK_TRAIN_TOP_ROIS = 0
 
     # Optimization (reference: config.py:200-230)
     LEARNING_RATE = 0.001
@@ -197,6 +202,7 @@ class Config:
             int(self.DETECTION_MAX_INSTANCES),
             float(self.DETECTION_NMS_THRESHOLD),
             int(getattr(self, "MASK_TOP_K", 0) or 0),
+            int(getattr(self, "MASK_TRAIN_TOP_ROIS", 0) or 0),
         )
 
     def display(self):
@@ -244,3 +250,4 @@ class CocoStyleConfig(Config):
     MASK_TOP_K = 32
     COMPUTE_DTYPE = "bfloat16"
     USE_MINI_MASK = True
+    MASK_TRAIN_TOP_ROIS = 128

@@ -38,6 +38,10 @@ class ShapesConfig(Config):
     # (docs/PERFORMANCE.md "Training"); the device-side target crop handles
     # both representations (ops/target_assign.py)
     USE_MINI_MASK = True
+    # mask branch on the 32 best assignment slots during training (≥ 3× the
+    # MAX_GT_INSTANCES=10 positives a Shapes image can produce per anchor
+    # neighborhood) — ~4.6× less train-step mask compute, loss-identical
+    MASK_TRAIN_TOP_ROIS = 32
     # train BN in batch-stats mode: Shapes trains from scratch (no pretrained
     # stats to freeze); the reference's Keras BNs behave this way implicitly
     TRAIN_BN = True

@@ -97,6 +97,26 @@ def training_loss(net, variables, batch, config, seen, train: bool = True,
         batch["gt_masks"].astype(jnp.float32), tuple(config.MASK_SHAPE),
         bool(config.USE_MINI_MASK))
 
+    # MASK_TRAIN_TOP_ROIS: run the (dominant) training mask branch only on
+    # the top-M assignment slots, positives first. The mask loss is a
+    # positive-only mean, so this is loss-identical whenever the image has
+    # ≤ M positive proposals — negatives contribute exactly 0 — and it cuts
+    # the train step's mask-branch FLOPs by R/M (the branch over all
+    # TRAIN_ROIS_PER_IMAGE proposals is ~75% of step time at the Shapes
+    # point; Mask R-CNN style implementations subsample ROIs the same way).
+    # With live BatchNorm (TRAIN_BN) the mask-head batch statistics are
+    # computed over the selected ROIs instead of all proposals — no longer
+    # dominated by background crops, a (mild, beneficial) difference.
+    # 0 (default) = reference-exact: mask branch over every proposal.
+    m_top = int(getattr(config, "MASK_TRAIN_TOP_ROIS", 0) or 0)
+    if m_top and m_top < rois.shape[1]:
+        key = (target_class_ids > 0).astype(jnp.float32)
+        _, order = jax.lax.top_k(key, m_top)  # positives first, stable
+        rois = jnp.take_along_axis(rois, order[..., None], axis=1)
+        target_class_ids = jnp.take_along_axis(target_class_ids, order, axis=1)
+        target_masks = jnp.take_along_axis(
+            target_masks, order[:, :, None, None], axis=1)
+
     (pred_masks,), updates2 = _apply_mask(net, variables, rois, fmap, bn_train,
                                           mutable)
     if updates2:

@@ -216,3 +216,33 @@ def test_uint8_images_match_float(tiny_net_and_vars, rng):
     # XLA may fuse the on-device u8→f32 divide into the first conv, which
     # reassociates a rounding step — sub-ULP-scale wobble is expected
     np.testing.assert_allclose(float(l_u8), float(l_f32), rtol=1e-5)
+
+
+def test_mask_train_top_rois_loss_identical(tiny_net_and_vars, rng):
+    """MASK_TRAIN_TOP_ROIS: the training loss is bit-identical to the
+    all-ROIs path whenever positives fit in the selection (frozen-BN
+    forward; with live BN only the batch statistics differ)."""
+    cfg, net, variables = tiny_net_and_vars
+    b, g = 2, cfg.MAX_GT_INSTANCES
+    h, w = cfg.IMAGE_SHAPE[:2]
+    batch = {
+        "image": jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32)),
+        "yolo_target": jnp.zeros((b, cfg.GRID_H, cfg.GRID_W, cfg.N_BOX,
+                                  5 + cfg.NUM_CLASSES), jnp.float32),
+        "true_boxes": jnp.zeros((b, 1, 1, 1, cfg.TRUE_BOX_BUFFER, 4), jnp.float32),
+        "gt_class_ids": jnp.zeros((b, g), jnp.int32).at[:, 0].set(1),
+        "gt_boxes": jnp.zeros((b, g, 4), jnp.float32).at[:, 0].set(
+            jnp.asarray([8.0, 8.0, 56.0, 56.0])),
+        "gt_masks": jnp.zeros((b, h, w, g), bool).at[:, 10:54, 10:54, 0].set(True),
+    }
+
+    class SelCfg(type(cfg)):
+        MASK_TRAIN_TOP_ROIS = 4
+
+    l_all, (m_all, _) = pipelines.training_loss(
+        net, variables, batch, cfg, seen=1e9, train=False)
+    l_sel, (m_sel, _) = pipelines.training_loss(
+        net, variables, batch, SelCfg(), seen=1e9, train=False)
+    np.testing.assert_allclose(float(l_all), float(l_sel), rtol=1e-6)
+    np.testing.assert_allclose(float(m_all["myolo_mask_loss"]),
+                               float(m_sel["myolo_mask_loss"]), rtol=1e-6)

@@ -33,7 +33,10 @@ def main():
                     choices=["float32", "bfloat16"],
                     help="override Config.COMPUTE_DTYPE for the run")
     ap.add_argument("--augment", action="store_true",
-                    help="per-epoch horizontal-flip augmentation")
+                    help="seeded per-epoch flip/rot90/scale/brightness "
+                         "augmentation (data/augment.default_augmenter)")
+    ap.add_argument("--augment-flip-only", action="store_true",
+                    help="round-1-style flip-only augmentation")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--num-overlays", type=int, default=4)
     ap.add_argument("--score-threshold", type=float, default=0.35)
@@ -64,15 +67,13 @@ def main():
     eval_ds.prepare()
 
     augmentation = None
-    if args.augment:
-        import numpy as _np
-
-        rng_aug = _np.random.RandomState(args.seed + 7)
-
-        def augmentation(image, mask):
-            if rng_aug.rand() < 0.5:
-                return _np.fliplr(image).copy(), _np.fliplr(mask).copy()
-            return image, mask
+    if args.augment_flip_only:
+        from mask_yolo_tpu.data import augment as _augment
+        augmentation = _augment.Sequential([_augment.Fliplr(0.5)],
+                                           seed=args.seed + 7)
+    elif args.augment:
+        from mask_yolo_tpu.data.augment import default_augmenter
+        augmentation = default_augmenter(seed=args.seed + 7)
 
     model = MaskYOLO(mode="training", config=config,
                      model_dir=os.path.join(args.out, "ckpt"), seed=args.seed)
