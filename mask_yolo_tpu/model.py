@@ -378,7 +378,7 @@ class MaskYOLO:
 
         qdet = QuantizedDetector.from_variables(
             jax.device_get(self.variables), self.config,
-            np.asarray(calib_images))
+            np.asarray(calib_images), net=self.net)
         self._ensure_infer_fns()
         self._detect_fn = lambda variables, images: qdet.detect_outputs(images)
         self._qdet = qdet

@@ -100,14 +100,17 @@ def _ds_block(params, stats, name, strides):
 def build_layer_graph(variables, config):
     """Extract the folded inference layer graph from flax variables.
 
-    Returns dict with 'stem'+'backbone' (shared trunk), 'neck', 'yolo',
-    'mask' layer lists. Only BACKBONE='mobilenet' is supported on the
-    quantized path.
+    Returns dict with 'trunk' (stem+backbone), 'neck', 'yolo', 'mask' layer
+    lists. Fully-quantized trunks are mobilenet-only; for other backbones
+    (resnet50_fpn) 'trunk'/'neck'/'yolo' are None and only the mask head —
+    the K-linear dominant branch — is extracted (hybrid mode: the caller
+    runs the trunk in bf16 flax and the mask head int8).
     """
-    if config.BACKBONE != "mobilenet":
-        raise NotImplementedError("int8 path supports the mobilenet backbone")
     params = variables["params"]
     stats = variables.get("batch_stats", {})
+    if config.BACKBONE != "mobilenet":
+        return {"trunk": None, "neck": None, "yolo": None,
+                "mask": _mask_layers(params["mask"], stats["mask"])}
 
     bb_p, bb_s = params["backbone"], stats["backbone"]
     trunk = []
@@ -135,7 +138,12 @@ def build_layer_graph(variables, config):
                       np.asarray(y_p["conv_23"]["bias"], np.float32),
                       (1, 1), "linear"))
 
-    m_p, m_s = params["mask"], stats["mask"]
+    return {"trunk": trunk, "neck": neck, "yolo": yolo,
+            "mask": _mask_layers(params["mask"], stats["mask"])}
+
+
+def _mask_layers(m_p, m_s):
+    """Folded mask-head layer chain (shared by every backbone)."""
     mask = []
     for i in range(1, 5):
         k, b = fold_conv_bn(m_p[f"mask_conv{i}"]["kernel"],
@@ -167,7 +175,7 @@ def build_layer_graph(variables, config):
                       np.tile(np.asarray(m_p["mask_out"]["bias"], np.float32),
                               kh * kw),
                       (1, 1), "sigmoid", quantize=False))
-    return {"trunk": trunk, "neck": neck, "yolo": yolo, "mask": mask}
+    return mask
 
 
 # ---------------------------------------------------------------------------
@@ -300,12 +308,21 @@ def _trunk_outputs(graph, images, quant: bool, collect=None):
 
 
 def _mask_outputs(graph, rois, fmap, pool_size: int, num_classes: int,
-                  quant: bool, collect=None):
+                  quant: bool, collect=None, image_hw=(224, 224)):
     b, r = rois.shape[:2]
     # quant path crops in bf16: halves the [B,K,14,28,C] contraction
     # intermediates' HBM traffic; calibration/parity path stays f32
     dt = jnp.bfloat16 if quant else jnp.float32
-    x = crop_and_resize(fmap, rois, (pool_size, pool_size), dtype=dt)
+    if isinstance(fmap, (tuple, list)):
+        # FPN hybrid mode: pool each ROI from its pyramid level
+        from .ops.roi_align import multilevel_crop_and_resize
+
+        x = multilevel_crop_and_resize(tuple(fmap), rois,
+                                       (pool_size, pool_size),
+                                       image_hw=tuple(image_hw),
+                                       canonical_level=1).astype(dt)
+    else:
+        x = crop_and_resize(fmap, rois, (pool_size, pool_size), dtype=dt)
     x = x.astype(jnp.float32)
     x = x.reshape(b * r, pool_size, pool_size, x.shape[-1])
     x = run_layers(graph["mask"], x, quant, collect)
@@ -313,28 +330,38 @@ def _mask_outputs(graph, rois, fmap, pool_size: int, num_classes: int,
     return x.reshape(b, r, side, side, num_classes)
 
 
-def calibrate(graph, config, images, rois=None):
+def calibrate(graph, config, images, rois=None, flax_trunk=None):
     """One f32 forward over calibration images; sets each layer's a_scale.
 
     images: [N, H, W, 3] float in [0, 1]. rois: [N, R, 4] normalized boxes for
-    the mask branch (defaults to a few spread boxes)."""
+    the mask branch (defaults to a few spread boxes). flax_trunk: hybrid-mode
+    callable images -> (grid, fmap/pyramid) supplying the feature maps when
+    the graph has no quantized trunk."""
     if rois is None:
         base = np.asarray([[0.0, 0.0, 1.0, 1.0], [0.1, 0.1, 0.6, 0.6],
                            [0.4, 0.4, 0.9, 0.9], [0.25, 0.25, 0.75, 0.75]],
                           np.float32)
         rois = np.tile(base[None], (images.shape[0], 1, 1))
 
+    hw = tuple(config.IMAGE_SHAPE[:2])
+
     @jax.jit
     def probe(images, rois):
         collect = []
-        raw, fmap = _trunk_outputs(graph, images, quant=False, collect=collect)
+        if graph["trunk"] is not None:
+            raw, fmap = _trunk_outputs(graph, images, quant=False,
+                                       collect=collect)
+        else:
+            # hybrid mode: the flax trunk supplies the feature map(s)
+            fmap = flax_trunk(images)[1]
         _mask_outputs(graph, rois, fmap, config.MASK_POOL_SIZE,
-                      config.NUM_CLASSES, quant=False, collect=collect)
+                      config.NUM_CLASSES, quant=False, collect=collect,
+                      image_hw=hw)
         return {name: v for name, v in collect}
 
     absmax = jax.device_get(probe(jnp.asarray(images), jnp.asarray(rois)))
     for part in graph.values():
-        for layer in part:
+        for layer in part or ():
             if layer.name in absmax:
                 layer.a_scale = float(absmax[layer.name]) / 127.0 or 1.0
     return graph
@@ -343,7 +370,7 @@ def calibrate(graph, config, images, rois=None):
 def quantize_weights(graph):
     """Symmetric per-output-channel int8 weights for quantizable layers."""
     for part in graph.values():
-        for layer in part:
+        for layer in part or ():
             if not layer.quantize:
                 continue
             k = np.asarray(layer.kernel, np.float32)
@@ -361,22 +388,45 @@ def quantize_weights(graph):
 
 class QuantizedDetector:
     """int8 end-to-end detect pipeline with the same outputs as
-    pipelines.detect_outputs (decode/NMS/top-K/paste stay f32 on-chip)."""
+    pipelines.detect_outputs (decode/NMS/top-K/paste stay f32 on-chip).
 
-    def __init__(self, graph, config):
+    Backbones other than mobilenet run in HYBRID mode: the trunk stays the
+    flax forward (bf16 for bf16 configs) and only the mask head — the branch
+    whose cost is linear in the kept-detection count — runs int8. A fully
+    quantized residual/FPN trunk would need a graph (not chain) executor;
+    hybrid mode removes the previous hard NotImplementedError while keeping
+    the accuracy-lossless int8 contract for the quantized part."""
+
+    def __init__(self, graph, config, flax_trunk=None):
         self.graph = graph
         self.config = config
+        self._flax_trunk = flax_trunk
         self._detect = None
         self._detect_is_pallas = None
 
     @classmethod
-    def from_variables(cls, variables, config, calib_images):
+    def from_variables(cls, variables, config, calib_images, net=None):
+        """net: the MaskYoloNet — required for non-mobilenet (hybrid)
+        backbones, whose trunk keeps running through flax."""
         graph = build_layer_graph(variables, config)
-        graph = calibrate(graph, config, calib_images)
+        flax_trunk = None
+        if graph["trunk"] is None:
+            if net is None:
+                raise ValueError(
+                    f"BACKBONE={config.BACKBONE!r} quantizes in hybrid mode: "
+                    "pass net= so the trunk can run through flax")
+            from . import pipelines
+
+            def flax_trunk(images):
+                return net.apply(variables, pipelines.images_f32(images),
+                                 train=False, method=net.pick_trunk())
+        graph = calibrate(graph, config, calib_images, flax_trunk=flax_trunk)
         graph = quantize_weights(graph)
-        return cls(graph, config)
+        return cls(graph, config, flax_trunk=flax_trunk)
 
     def trunk(self, images, quant: bool = True):
+        if self.graph["trunk"] is None:
+            return self._flax_trunk(images)
         raw, fmap = _trunk_outputs(self.graph, images, quant)
         b, gh, gw = raw.shape[0], raw.shape[1], raw.shape[2]
         nb = self.config.N_BOX
@@ -386,7 +436,8 @@ class QuantizedDetector:
     def mask_branch(self, rois, fmap, quant: bool = True):
         return _mask_outputs(self.graph, rois, fmap,
                              self.config.MASK_POOL_SIZE,
-                             self.config.NUM_CLASSES, quant)
+                             self.config.NUM_CLASSES, quant,
+                             image_hw=tuple(self.config.IMAGE_SHAPE[:2]))
 
     def detect_outputs(self, images, use_pallas: bool | None = None,
                        interpret: bool = False):
