@@ -214,8 +214,9 @@ def test_uint8_images_match_float(tiny_net_and_vars, rng):
         net, variables, dict(base, image=jnp.asarray(raw.astype(np.float32) / 255.0)),
         cfg, seen=10.0)
     # XLA may fuse the on-device u8→f32 divide into the first conv, which
-    # reassociates a rounding step — sub-ULP-scale wobble is expected
-    np.testing.assert_allclose(float(l_u8), float(l_f32), rtol=1e-5)
+    # reassociates f32 rounding — tiny wobble is expected (a real
+    # normalization bug would be off by ~255×, far beyond this tolerance)
+    np.testing.assert_allclose(float(l_u8), float(l_f32), rtol=1e-4)
 
 
 def test_mask_train_top_rois_loss_identical(tiny_net_and_vars, rng):
