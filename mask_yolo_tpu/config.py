@@ -125,6 +125,17 @@ class Config:
     # or "float32" for bit-faithful parity testing.
     COMPUTE_DTYPE = "float32"
 
+    # int8-PTQ path: also quantize the depthwise convs. None = auto (on for
+    # inputs ≥ 320², where the bigger maps amortize grouped-int8 lowering;
+    # measured 131 → 111 µs/img on the 416² backbone but SLOWER at 224²).
+    QUANT_DW_INT8 = None
+
+    # Host data-loading worker threads for data_generator (0 = load in the
+    # calling thread). The reference computed cpu_count() but left Keras
+    # multiprocessing disabled (model.py:1045, 1057-1058); here the native
+    # C++ image kernels release the GIL so threads parallelize for real.
+    DATA_WORKERS = 0
+
     # Parallelism (the reference has none — SURVEY.md §2.3). Axis sizes for the
     # device mesh; DATA_PARALLEL=0 means "all available devices".
     DATA_PARALLEL = 0

@@ -80,19 +80,23 @@ class Layer:
     a_scale: float = 0.0  # f32 input activation scale
 
 
-def _ds_block(params, stats, name, strides):
-    """DepthwiseSeparable block → [dw layer (bf16), pw layer (int8)]."""
+def _ds_block(params, stats, name, strides, dw_int8: bool = False):
+    """DepthwiseSeparable block → [dw layer, pw layer (int8)].
+
+    dw_int8: quantize the depthwise conv too. Spatial-size dependent:
+    at 224² int8 DW measured SLOWER end-to-end (8.8k vs 12.4k img/s —
+    grouped int8 lowers poorly at small spatials), but at 416² it is a
+    15% backbone win (131 → 111 µs/img) — the bigger maps amortize the
+    lowering overhead. Config.QUANT_DW_INT8 selects (auto: on for
+    inputs ≥ 320²)."""
     p, s = params[name], stats[name]
     dwk, dwb = fold_conv_bn(p["conv_dw"]["kernel"], p["conv_dw_bn"], s["conv_dw_bn"])
     pwk, pwb = fold_conv_bn(p["conv_pw"]["kernel"], p["conv_pw_bn"], s["conv_pw_bn"])
-    # depthwise kernel is [kh, kw, 1, C] → feature_group_count = C.
-    # DW stays bf16: quantizing it was measured SLOWER end-to-end (8.8k vs
-    # 12.4k img/s) — grouped int8 convs lower poorly at real sizes even
-    # though an isolated microbenchmark looked fine.
+    # depthwise kernel is [kh, kw, 1, C] → feature_group_count = C
     groups = int(dwk.shape[-1])
     return [
         Layer(f"{name}/dw", "dw", dwk, dwb, strides, "relu6",
-              groups=groups, quantize=False),
+              groups=groups, quantize=dw_int8),
         Layer(f"{name}/pw", "conv", pwk, pwb, (1, 1), "relu6"),
     ]
 
@@ -112,6 +116,11 @@ def build_layer_graph(variables, config):
         return {"trunk": None, "neck": None, "yolo": None,
                 "mask": _mask_layers(params["mask"], stats["mask"])}
 
+    dw_int8 = getattr(config, "QUANT_DW_INT8", None)
+    if dw_int8 is None:  # auto: big spatials amortize grouped-int8 lowering
+        dw_int8 = int(config.IMAGE_SHAPE[0]) >= 320
+    dw_int8 = bool(dw_int8)
+
     bb_p, bb_s = params["backbone"], stats["backbone"]
     trunk = []
     k, b = fold_conv_bn(bb_p["conv1"]["conv"]["kernel"], bb_p["conv1"]["bn"],
@@ -120,7 +129,8 @@ def build_layer_graph(variables, config):
     bb_strides = {"block2": (2, 2), "block4": (2, 2)}
     for i in range(1, 7):
         name = f"block{i}"
-        trunk += _ds_block(bb_p, bb_s, name, bb_strides.get(name, (1, 1)))
+        trunk += _ds_block(bb_p, bb_s, name, bb_strides.get(name, (1, 1)),
+                           dw_int8=dw_int8)
 
     neck = [Layer("feature_map", "conv",
                   np.asarray(params["feature_map"]["kernel"], np.float32),
@@ -132,7 +142,8 @@ def build_layer_graph(variables, config):
     y_strides = {"block7": (2, 2), "block13": (2, 2)}
     for i in range(7, 15):
         name = f"block{i}"
-        yolo += _ds_block(y_p, y_s, name, y_strides.get(name, (1, 1)))
+        yolo += _ds_block(y_p, y_s, name, y_strides.get(name, (1, 1)),
+                          dw_int8=dw_int8)
     yolo.append(Layer("conv_23", "conv",
                       np.asarray(y_p["conv_23"]["kernel"], np.float32),
                       np.asarray(y_p["conv_23"]["bias"], np.float32),
@@ -288,6 +299,9 @@ def run_layers(layers, x, quant: bool, collect=None):
     scale = None
     for i, layer in enumerate(layers):
         nxt = layers[i + 1] if i + 1 < len(layers) else None
+        # inter-layer tensors stay int8 in HBM whenever the next layer has a
+        # calibrated input scale — even between bf16 layers, int8 storage is
+        # the 4× activation-traffic cut (the bf16 layer dequantizes on load)
         out_scale = (nxt.a_scale if nxt is not None and nxt.a_scale > 0.0
                      else None)
         x, scale = run_layer_int8(layer, x, scale, out_scale)

@@ -98,6 +98,35 @@ def test_int8_detect_outputs_contract(setup):
     assert d.min() < 5.0  # within a few pixels of some kept box
 
 
+def test_int8_depthwise_knob(setup):
+    """QUANT_DW_INT8=True quantizes the depthwise convs too (the ≥320² auto
+    path) and stays within int8 noise of f32; default at tiny sizes is off."""
+    cfg, net, variables, images = setup
+
+    # default (auto) at 64²: depthwise layers stay bf16
+    auto = quant.build_layer_graph(variables, cfg)
+    assert not any(l.quantize for part in auto.values() if part
+                   for l in part if l.kind == "dw")
+
+    class DWCfg(type(cfg)):
+        QUANT_DW_INT8 = True
+
+    det = quant.QuantizedDetector.from_variables(variables, DWCfg(),
+                                                 np.asarray(images))
+    dw_layers = [l for part in det.graph.values() if part
+                 for l in part if l.kind == "dw"]
+    assert dw_layers and all(l.quantize for l in dw_layers)
+    for layer in dw_layers:
+        assert layer.a_scale > 0 and layer.w_q is not None
+        assert layer.w_q.dtype == np.int8
+
+    grid_f, _ = jax.jit(lambda im: det.trunk(im, quant=False))(images)
+    grid_q, _ = jax.jit(lambda im: det.trunk(im, quant=True))(images)
+    scale = float(np.abs(np.asarray(grid_f)).max())
+    err = np.abs(np.asarray(grid_q) - np.asarray(grid_f)).max()
+    assert err < 0.1 * scale + 0.05, (err, scale)
+
+
 def test_maskyolo_quantize_api(setup, rng):
     """MaskYOLO.quantize() switches detect to the int8 path end-to-end."""
     from mask_yolo_tpu import MaskYOLO
