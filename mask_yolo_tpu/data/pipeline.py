@@ -155,9 +155,31 @@ class GeneratorEpochSource:
         pass
 
 
+def _load_one(dataset, config, image_id, augment, augmentation, seed):
+    """Load + pack one image with a private RandomState(seed) — the unit of
+    work for the threaded loader. Augmenter instances are driven statelessly
+    through .apply(image, mask, rng) so their internal stream is never
+    touched from a worker thread."""
+    from .augment import Augmenter
+    from .loader import load_image_gt, pack_gt
+
+    r = np.random.RandomState(seed)
+    aug = augmentation
+    if isinstance(aug, Augmenter):
+        base = aug
+
+        def aug(im, m):
+            return base.apply(im, m, r)
+
+    image, cids, boxes, masks = load_image_gt(
+        dataset, config, image_id, augment=augment, augmentation=aug, rng=r)
+    ids, bxs, msks = pack_gt(cids, boxes, masks, config, rng=r)
+    return np.ascontiguousarray(image, dtype=np.uint8), ids, bxs, msks
+
+
 def data_generator(dataset, config, shuffle=True, augment=False,
                    augmentation=None, mode="training", error_limit=5,
-                   seed=0, norm=True):
+                   seed=0, norm=True, workers: int | None = None):
     """Endless python-generator batch source — the reference's legacy
     `data_generator` surface (myolo_utils.py:457-686), including its
     skip-after-logging error policy (errors on one image are logged and the
@@ -169,10 +191,26 @@ def data_generator(dataset, config, shuffle=True, augment=False,
     suits datasets too large to preload or with stochastic augmentation.
     seed drives shuffling, the `augment` flip and GT subsampling;
     norm=False is the debug mode (see BatchGenerator).
+
+    workers (default config.DATA_WORKERS): >0 runs per-image load+augment
+    on a thread pool (the native C++ kernels release the GIL, so this is
+    real parallelism — the reference merely computed cpu_count() and left
+    multiprocessing disabled, model.py:1045,1057-1058). Each image gets a
+    RandomState seeded from the master stream at submission, so output is
+    reproducible AND identical for every workers ≥ 1 (it differs from the
+    workers=0 stream, which threads one RandomState through sequentially).
     """
     import logging
 
     from .loader import load_image_gt, pack_gt
+
+    if workers is None:
+        workers = int(getattr(config, "DATA_WORKERS", 0) or 0)
+    if workers > 0:
+        yield from _data_generator_threaded(
+            dataset, config, shuffle, augment, augmentation, mode,
+            error_limit, seed, norm, workers)
+        return
 
     b = config.BATCH_SIZE
     image_ids = np.copy(dataset.image_ids)
@@ -215,3 +253,72 @@ def data_generator(dataset, config, shuffle=True, augment=False,
             batch["gt_boxes"] = gt_boxes.astype(np.float32)
             batch["gt_masks"] = gt_masks
         yield batch
+
+
+def _data_generator_threaded(dataset, config, shuffle, augment, augmentation,
+                             mode, error_limit, seed, norm, workers):
+    """Thread-pooled body of data_generator(workers>0). Work items are
+    submitted in shuffle order with sequentially-derived seeds and consumed
+    in submission order, so batches are deterministic in (seed, dataset) and
+    independent of the worker count."""
+    import logging
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    b = config.BATCH_SIZE
+    image_ids = np.copy(dataset.image_ids)
+    rng = np.random.RandomState(seed)
+    depth = max(2 * workers, b)
+    pool = ThreadPoolExecutor(max_workers=workers,
+                              thread_name_prefix="myolo-data")
+    try:
+        pending: deque = deque()
+        index, errors = -1, 0
+        items = []
+
+        def submit_next():
+            nonlocal index
+            index = (index + 1) % len(image_ids)
+            if shuffle and index == 0:
+                rng.shuffle(image_ids)
+            image_id = int(image_ids[index])
+            img_seed = int(rng.randint(1 << 31))
+            pending.append((image_id, pool.submit(
+                _load_one, dataset, config, image_id, augment, augmentation,
+                img_seed)))
+
+        while True:
+            while len(pending) < depth:
+                submit_next()
+            image_id, fut = pending.popleft()
+            try:
+                item = fut.result()
+                errors = 0
+            except Exception:
+                logging.exception("Error processing image %s",
+                                  dataset.image_info[image_id])
+                errors += 1
+                if errors > error_limit:
+                    raise
+                continue
+            items.append(item)
+            if len(items) < b:
+                continue
+            images = np.stack([it[0] for it in items])
+            gt_ids = np.stack([it[1] for it in items])
+            gt_boxes = np.stack([it[2] for it in items])
+            gt_masks = np.stack([it[3] for it in items])
+            items = []
+            yolo_target, true_boxes = encode_batch(gt_boxes, gt_ids, config)
+            if not norm:
+                images = _debug_draw_batch(images, gt_boxes, gt_ids)
+            batch = {"image": images, "true_boxes": true_boxes,
+                     "yolo_target": yolo_target}
+            if mode == "training":
+                batch["gt_class_ids"] = gt_ids
+                batch["gt_boxes"] = gt_boxes.astype(np.float32)
+                batch["gt_masks"] = gt_masks
+            yield batch
+    finally:
+        # reached on generator .close()/GC: don't leak pool threads
+        pool.shutdown(wait=False, cancel_futures=True)

@@ -153,6 +153,66 @@ def test_data_generator_legacy_surface(tiny_config):
     assert next(gen2)["image"].shape[0] == 2
 
 
+def test_data_generator_threaded_workers(tiny_config):
+    """workers>0 runs per-image load on a thread pool; batches are
+    deterministic in seed and IDENTICAL for every workers >= 1, including
+    with a seeded augmenter (per-image RandomStates derived from the master
+    stream at submission)."""
+    import numpy as np
+
+    from mask_yolo_tpu.data import augment
+    from mask_yolo_tpu.data.pipeline import data_generator
+    from mask_yolo_tpu.data.shapes import ShapesDataset
+
+    class Cfg(type(tiny_config)):
+        NUM_CLASSES = 4
+        LABELS = ["background", "square", "circle", "triangle"]
+        BATCH_SIZE = 2
+
+    cfg = Cfg()
+    ds = ShapesDataset()
+    ds.load_shapes(7, 64, 64, seed=2)
+    ds.prepare()
+
+    def pull(workers, n=4):
+        gen = data_generator(ds, cfg, shuffle=True, seed=3,
+                             augmentation=augment.default_augmenter(seed=1),
+                             workers=workers)
+        out = [next(gen) for _ in range(n)]
+        gen.close()
+        return out
+
+    a, b = pull(1), pull(3)
+    for ba, bb in zip(a, b):
+        assert ba["image"].shape == (2, 64, 64, 3)
+        for k in ba:
+            np.testing.assert_array_equal(ba[k], bb[k])
+
+    # error-skip policy holds in the threaded path too
+    calls = {"n": 0}
+    orig = ds.load_image
+
+    def flaky(image_id):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("boom")
+        return orig(image_id)
+
+    ds.load_image = flaky
+    gen = data_generator(ds, cfg, shuffle=False, workers=2)
+    assert next(gen)["image"].shape[0] == 2
+    gen.close()
+    ds.load_image = orig
+
+    # config.DATA_WORKERS is the default for the workers argument
+    class WCfg(Cfg):
+        DATA_WORKERS = 2
+
+    gen = data_generator(ds, WCfg(), shuffle=True, seed=3)
+    assert next(gen)["image"].shape == (2, 64, 64, 3)
+    gen.close()
+
+
 def test_mask_top_k_equivalent_when_few_survivors(tiny_net_and_vars, rng):
     """MASK_TOP_K < K yields the same detection SET (boxes/scores/classes/
     masks per valid slot) whenever the number of NMS survivors fits — only

@@ -121,9 +121,15 @@ def bench_device_steps(cfg, net, variables, n1=2, n2=8, reps=3):
 
 
 def bench_epoch(cfg, net, variables, n_images: int, legacy: bool,
-                epochs: int = 3):
-    """End-to-end epoch wall-clock: generator + prefetch upload + steps."""
-    from mask_yolo_tpu.data.pipeline import BatchGenerator, preload_dataset
+                epochs: int = 3, augment: bool = False):
+    """End-to-end epoch wall-clock: generator + prefetch upload + steps.
+
+    augment=True times the quality-run path instead: the endless
+    data_generator re-loading + re-augmenting every image per epoch
+    (default_augmenter), host work the native C++ kernels accelerate."""
+    from mask_yolo_tpu.data.pipeline import (BatchGenerator,
+                                             GeneratorEpochSource,
+                                             data_generator, preload_dataset)
     from mask_yolo_tpu.data.shapes import ShapesDataset
     from mask_yolo_tpu.train import state as state_lib
     from mask_yolo_tpu.train import trainer as trainer_lib
@@ -136,10 +142,18 @@ def bench_epoch(cfg, net, variables, n_images: int, legacy: bool,
     ds = ShapesDataset()
     ds.load_shapes(n_images, *cfg.IMAGE_SHAPE[:2], seed=0)
     ds.prepare()
-    data = preload_dataset(ds, cfg)
-    if legacy:  # round-1-style float32 image payload
-        data = dict(data, images=data["images"].astype(np.float32) / 255.0)
-    gen = BatchGenerator(data, cfg, mode="training", shuffle=False)
+    if augment:
+        from mask_yolo_tpu.data.augment import default_augmenter
+
+        endless = data_generator(ds, cfg, shuffle=True,
+                                 augmentation=default_augmenter(seed=0),
+                                 seed=0)
+        gen = GeneratorEpochSource(endless, n_images // cfg.BATCH_SIZE, cfg)
+    else:
+        data = preload_dataset(ds, cfg)
+        if legacy:  # round-1-style float32 image payload
+            data = dict(data, images=data["images"].astype(np.float32) / 255.0)
+        gen = BatchGenerator(data, cfg, mode="training", shuffle=False)
     bytes_per_step = sum(np.asarray(v).nbytes for v in gen[0].values())
 
     tx = state_lib.make_optimizer(1e-3, cfg)
@@ -169,6 +183,8 @@ def main():
     ap.add_argument("--images", type=int, default=256)
     ap.add_argument("--legacy", action="store_true",
                     help="round-1-style batches (float32 + full masks)")
+    ap.add_argument("--augment", action="store_true",
+                    help="time the augmented data_generator path")
     ap.add_argument("--skip-device", action="store_true")
     args = ap.parse_args()
 
@@ -179,12 +195,14 @@ def main():
         out["device_only_images_per_sec"] = round(ips, 1)
         print(f"# device-only train step: {ips:,.0f} img/s", file=sys.stderr,
               flush=True)
-    e = bench_epoch(cfg, net, variables, args.images, args.legacy)
+    e = bench_epoch(cfg, net, variables, args.images, args.legacy,
+                    augment=args.augment)
     out.update({
         "e2e_images_per_sec": round(e["images_per_sec"], 1),
         "e2e_sec_per_step": round(e["sec_per_step"], 4),
         "mb_per_step": round(e["mb_per_step"], 2),
         "payload": "legacy_f32_fullmask" if args.legacy else "uint8_minimask",
+        "augmented_generator": bool(args.augment),
     })
     print(json.dumps(out))
 
