@@ -16,7 +16,8 @@ from .utils import metrics
 
 
 def evaluate_dataset(model, dataset, config, image_ids=None, batch_size=8,
-                     iou_threshold=0.5, score_threshold=0.0, verbose=False):
+                     iou_threshold=0.5, score_threshold=0.0, verbose=False,
+                     mesh=None):
     """Run detection over `dataset` and compute detection + mask AP.
 
     model: a MaskYOLO in 'inference' mode (uses detect_batch).
@@ -25,6 +26,10 @@ def evaluate_dataset(model, dataset, config, image_ids=None, batch_size=8,
     box_map (COCO 0.5:0.95), mask_ap50, mask_map; plus mean_recall50 and
     per_image (per-image AP dicts, mean reported as box_ap50_per_image for
     continuity with round-1 numbers).
+
+    mesh: forwarded to detect_batch — a Mesh (or True) shards each eval
+    batch over the mesh's 'data' axis (parallel/inference.ShardedDetector);
+    batch_size must then divide by the data-axis size.
     """
     if image_ids is None:
         image_ids = list(dataset.image_ids)
@@ -50,7 +55,7 @@ def evaluate_dataset(model, dataset, config, image_ids=None, batch_size=8,
             batch = np.concatenate(
                 [batch, np.zeros((pad, h, w, 3), np.float32)])
         out = {k: np.asarray(v) for k, v in
-               model.detect_batch(batch).items()}
+               model.detect_batch(batch, mesh=mesh).items()}
 
         for bi, (gt_ids, gt_boxes, gt_masks) in enumerate(gts):
             keep = out["valid"][bi] & (out["scores"][bi] >= score_threshold)

@@ -82,6 +82,7 @@ class MaskYOLO:
         self._detect_fn = None
         self._infer_yolo_fn = None
         self._qdet = None
+        self._sharded_det = None
         self.build(mode=mode, config=config)
 
     # -- construction --------------------------------------------------------
@@ -347,6 +348,7 @@ class MaskYOLO:
         self._detect_fn = None
         self._infer_yolo_fn = None
         self._qdet = None
+        self._sharded_det = None
 
     def _ensure_infer_fns(self):
         if self._detect_fn is None:
@@ -452,11 +454,25 @@ class MaskYOLO:
                 save_path=os.path.join(save_path, f"InferMaskYOLO-{name}-{now}.png"))
         return results
 
-    def detect_batch(self, images_float, weights_dir=None):
+    def detect_batch(self, images_float, weights_dir=None, mesh=None):
         """Batched on-chip detection: [B, H, W, 3] float in [0, 1] →
-        fixed-shape dict (see pipelines.detect_outputs). The throughput path."""
+        fixed-shape dict (see pipelines.detect_outputs). The throughput path.
+
+        mesh: a jax.sharding.Mesh (or True to auto-build one over all
+        devices) shards the batch over the mesh's 'data' axis — the
+        BASELINE.md pod scale-out path (parallel/inference.ShardedDetector).
+        B must divide by the data-axis size."""
         if weights_dir is not None:
             self.load_weights(weights_dir)
+        if mesh is not None and mesh is not False:
+            if self._sharded_det is None or (
+                    mesh is not True and self._sharded_det.mesh is not mesh):
+                from .parallel.inference import ShardedDetector
+
+                self._sharded_det = ShardedDetector(
+                    self.net, self.variables, self.config,
+                    mesh=None if mesh is True else mesh)
+            return self._sharded_det(images_float)
         self._ensure_infer_fns()
         return self._detect_fn(self.variables, images_float)
 

@@ -31,6 +31,12 @@ def test_evaluate_dataset_untrained(tmp_path):
     for row in result["per_image"]:
         assert row["n_gt"] >= 1
 
+    # mesh=True shards every eval batch over the 8-device 'data' axis and
+    # reproduces the single-device metrics exactly (pure DP)
+    sharded = evaluate_dataset(model, ds, cfg, batch_size=8, mesh=True)
+    assert sharded["box_ap50"] == result["box_ap50"]
+    assert sharded["mask_ap50"] == result["mask_ap50"]
+
 
 def test_perfect_predictions_score_ap1():
     """Feeding the GT back as predictions must give AP50 = 1 on boxes and

@@ -224,3 +224,68 @@ def test_tp_train_step_matches_replicated(tiny_setup):
     p_tp = jax.device_get(jax.tree.leaves(state.params)[0])
     p_one = jax.device_get(jax.tree.leaves(state1.params)[0])
     np.testing.assert_allclose(p_tp, p_one, rtol=2e-3, atol=2.1e-3)
+
+
+def test_sharded_detector_matches_single_device(tiny_setup, rng):
+    """ShardedDetector (the public pod-inference API) reproduces the
+    single-device detect outputs exactly under pure DP, and detect_batch
+    routes through it when given a mesh."""
+    cfg, net, variables, batch = tiny_setup
+    from mask_yolo_tpu import pipelines
+    from mask_yolo_tpu.parallel.inference import ShardedDetector
+
+    images = rng.rand(8, *cfg.IMAGE_SHAPE).astype(np.float32)
+
+    det = ShardedDetector(net, variables, cfg)
+    assert det.mesh.devices.shape == (8, 1)
+    out = jax.device_get(det(images))
+
+    ref = jax.device_get(jax.jit(
+        lambda v, im: pipelines.detect_outputs(net, v, im, cfg))(
+            variables, jnp.asarray(images)))
+    for k in ref:
+        np.testing.assert_array_equal(out[k], ref[k])
+
+    local = det.local_results(det(images))
+    np.testing.assert_array_equal(local["boxes"], ref["boxes"])
+
+    # MaskYOLO.detect_batch(mesh=True) routes through ShardedDetector
+    from mask_yolo_tpu import MaskYOLO
+
+    m = MaskYOLO(mode="inference", config=cfg)
+    m.params = variables["params"]
+    m.batch_stats = variables.get("batch_stats", {})
+    out2 = jax.device_get(m.detect_batch(images, mesh=True))
+    np.testing.assert_array_equal(
+        out2["classes"],
+        jax.device_get(m.detect_batch(images))["classes"])
+
+
+def test_sharded_detector_tp(tiny_setup, rng):
+    """With MODEL_PARALLEL=2 the detector's wide kernels really shard over
+    'model' and scores stay numerically close to replicated execution."""
+    cfg, net, variables, batch = tiny_setup
+    from mask_yolo_tpu import pipelines
+    from mask_yolo_tpu.parallel.inference import ShardedDetector
+
+    class TPConfig(type(cfg)):
+        DATA_PARALLEL = 4
+        MODEL_PARALLEL = 2
+
+    tp_cfg = TPConfig()
+    images = rng.rand(8, *cfg.IMAGE_SHAPE).astype(np.float32)
+    det = ShardedDetector(net, variables, tp_cfg)
+    assert det.mesh.devices.shape == (4, 2)
+    wide = [p for p in jax.tree.leaves(det.variables)
+            if getattr(p, "ndim", 0) == 4 and p.shape[-1] >= 256]
+    assert wide, "expected TP-sharded wide kernels"
+    for p in wide:
+        shapes = {s.data.shape for s in p.addressable_shards}
+        assert shapes == {(*p.shape[:-1], p.shape[-1] // 2)}
+
+    out = jax.device_get(det(images))
+    ref = jax.device_get(jax.jit(
+        lambda v, im: pipelines.detect_outputs(net, v, im, cfg))(
+            variables, jnp.asarray(images)))
+    np.testing.assert_allclose(out["scores"], ref["scores"],
+                               rtol=1e-4, atol=1e-5)
