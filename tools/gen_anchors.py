@@ -13,8 +13,12 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def load_boxes_txt(path, image_shape=(224, 224)):
