@@ -454,12 +454,17 @@ class QuantizedDetector:
                              image_hw=tuple(self.config.IMAGE_SHAPE[:2]))
 
     def detect_outputs(self, images, use_pallas: bool | None = None,
-                       interpret: bool = False):
+                       interpret: bool = False, mesh=None):
         """Same contract as pipelines.detect_outputs, int8 conv stack.
 
         use_pallas: run the mask branch as the fused per-image Pallas kernel
         (ops/pallas_mask.py). Default off — measured slower than the XLA
-        int8 conv path at this operating point (see pallas_mask.py)."""
+        int8 conv path at this operating point (see pallas_mask.py).
+
+        mesh: a jax.sharding.Mesh shards the batch over its 'data' axis
+        (pod-scale int8 serving; the int8 weights are jit constants and
+        replicate). The pipeline is per-image independent, so no collectives
+        are inserted. Batch must divide by the data-axis size."""
         if use_pallas is None:
             use_pallas = False
         if self._detect is None or use_pallas != self._detect_is_pallas:
@@ -486,4 +491,9 @@ class QuantizedDetector:
 
             self._detect = detect
             self._detect_is_pallas = use_pallas
+        if mesh is not None:
+            from .parallel.mesh import batch_sharding, place_batch_array
+
+            images = place_batch_array(np.asarray(images, np.float32),
+                                       batch_sharding(mesh))
         return self._detect(images)

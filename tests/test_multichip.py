@@ -289,3 +289,25 @@ def test_sharded_detector_tp(tiny_setup, rng):
             variables, jnp.asarray(images)))
     np.testing.assert_allclose(out["scores"], ref["scores"],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_int8_detect_on_mesh(tiny_setup, rng):
+    """The int8 quantized detect path also runs batch-sharded over the mesh
+    (pod int8 serving) and matches its own single-device outputs."""
+    cfg, net, variables, batch = tiny_setup
+    from mask_yolo_tpu.quant import QuantizedDetector
+
+    class QCfg(type(cfg)):
+        NUM_CLASSES = cfg.NUM_CLASSES
+
+    qcfg = QCfg()
+    calib = rng.rand(2, *cfg.IMAGE_SHAPE).astype(np.float32)
+    det = QuantizedDetector.from_variables(jax.device_get(variables), qcfg,
+                                           calib)
+    images = rng.rand(8, *cfg.IMAGE_SHAPE).astype(np.float32)
+    ref = jax.device_get(det.detect_outputs(jnp.asarray(images)))
+
+    mesh = build_mesh(qcfg)
+    out = jax.device_get(det.detect_outputs(images, mesh=mesh))
+    for k in ref:
+        np.testing.assert_array_equal(out[k], ref[k])
