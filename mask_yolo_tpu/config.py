@@ -130,11 +130,14 @@ class Config:
     # measured 131 → 111 µs/img on the 416² backbone but SLOWER at 224²).
     QUANT_DW_INT8 = None
 
-    # Host data-loading worker threads for data_generator (0 = load in the
-    # calling thread). The reference computed cpu_count() but left Keras
-    # multiprocessing disabled (model.py:1045, 1057-1058); here the native
-    # C++ image kernels release the GIL so threads parallelize for real.
+    # Host data-loading workers for data_generator (0 = load in the calling
+    # thread). The reference computed cpu_count() but left Keras
+    # multiprocessing disabled (model.py:1045, 1057-1058). DATA_WORKER_MODE:
+    # "thread" (cheap; the C++ kernels release the GIL but Python-level
+    # per-image code still serializes) or "process" (fork-start workers —
+    # real CPU parallelism; same batches as thread mode, bit for bit).
     DATA_WORKERS = 0
+    DATA_WORKER_MODE = "thread"
 
     # Parallelism (the reference has none — SURVEY.md §2.3). Axis sizes for the
     # device mesh; DATA_PARALLEL=0 means "all available devices".

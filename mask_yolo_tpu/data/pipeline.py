@@ -193,12 +193,16 @@ def data_generator(dataset, config, shuffle=True, augment=False,
     norm=False is the debug mode (see BatchGenerator).
 
     workers (default config.DATA_WORKERS): >0 runs per-image load+augment
-    on a thread pool (the native C++ kernels release the GIL, so this is
-    real parallelism — the reference merely computed cpu_count() and left
+    on a worker pool (the reference merely computed cpu_count() and left
     multiprocessing disabled, model.py:1045,1057-1058). Each image gets a
     RandomState seeded from the master stream at submission, so output is
     reproducible AND identical for every workers ≥ 1 (it differs from the
     workers=0 stream, which threads one RandomState through sequentially).
+    config.DATA_WORKER_MODE picks the pool: "thread" (default; cheap, but
+    the Python-level per-image code still serializes on the GIL) or
+    "process" (fork-start worker processes — real CPU parallelism; state
+    reaches workers by fork inheritance, so locally-defined Config/Dataset
+    classes work without being picklable).
     """
     import logging
 
@@ -207,9 +211,10 @@ def data_generator(dataset, config, shuffle=True, augment=False,
     if workers is None:
         workers = int(getattr(config, "DATA_WORKERS", 0) or 0)
     if workers > 0:
-        yield from _data_generator_threaded(
+        yield from _data_generator_pooled(
             dataset, config, shuffle, augment, augmentation, mode,
-            error_limit, seed, norm, workers)
+            error_limit, seed, norm, workers,
+            pool_mode=str(getattr(config, "DATA_WORKER_MODE", "thread")))
         return
 
     b = config.BATCH_SIZE
@@ -255,22 +260,134 @@ def data_generator(dataset, config, shuffle=True, augment=False,
         yield batch
 
 
-def _data_generator_threaded(dataset, config, shuffle, augment, augmentation,
-                             mode, error_limit, seed, norm, workers):
-    """Thread-pooled body of data_generator(workers>0). Work items are
+_FORK_STATE = None  # handoff to fork-started workers (inherited, not pickled)
+
+
+def _forked_worker_main(tasks, results):
+    """Loop of one fork-started loader process: (seq, image_id, seed) in,
+    (seq, ("ok", item) | ("err", traceback)) out."""
+    dataset, config, augment, augmentation = _FORK_STATE
+    while True:
+        t = tasks.get()
+        if t is None:
+            return
+        seq, image_id, img_seed = t
+        try:
+            item = _load_one(dataset, config, image_id, augment, augmentation,
+                             img_seed)
+            results.put((seq, ("ok", item)))
+        except Exception:
+            import traceback
+
+            results.put((seq, ("err", traceback.format_exc())))
+
+
+class _ForkedLoaderPool:
+    """Fork-start process pool for per-image loading.
+
+    Real CPU parallelism: the per-image pipeline is mostly Python/numpy
+    bytecode that a thread pool serializes on the GIL. State (dataset,
+    config, augmenter) reaches the workers by fork inheritance through
+    `_FORK_STATE` — nothing is pickled, so locally-defined Config/Dataset
+    subclasses work. Workers are daemons; `close()` drains them with a
+    terminate fallback. Caveat (documented): fork after heavy threaded
+    runtimes are active is best done before first device use — create the
+    generator before the first train/detect call (MaskYOLO.train does)."""
+
+    def __init__(self, dataset, config, augment, augmentation, workers):
+        import multiprocessing as mp
+
+        global _FORK_STATE
+        ctx = mp.get_context("fork")
+        self.tasks = ctx.Queue()
+        self.results = ctx.Queue()
+        _FORK_STATE = (dataset, config, augment, augmentation)
+        try:
+            self.procs = [
+                ctx.Process(target=_forked_worker_main,
+                            args=(self.tasks, self.results), daemon=True)
+                for _ in range(workers)]
+            for p in self.procs:
+                p.start()
+        finally:
+            _FORK_STATE = None
+        self._buf = {}
+
+    def submit(self, seq, image_id, img_seed):
+        self.tasks.put((seq, int(image_id), int(img_seed)))
+
+    def result(self, seq, timeout=300.0):
+        while seq not in self._buf:
+            s, payload = self.results.get(timeout=timeout)
+            self._buf[s] = payload
+        status, val = self._buf.pop(seq)
+        if status == "err":
+            raise RuntimeError(f"loader worker failed:\n{val}")
+        return val
+
+    def close(self):
+        for _ in self.procs:
+            try:
+                self.tasks.put(None)
+            except Exception:
+                pass
+        for p in self.procs:
+            p.join(timeout=1.0)
+            if p.is_alive():
+                p.terminate()
+
+
+def _data_generator_pooled(dataset, config, shuffle, augment, augmentation,
+                           mode, error_limit, seed, norm, workers,
+                           pool_mode="thread"):
+    """Worker-pooled body of data_generator(workers>0). Work items are
     submitted in shuffle order with sequentially-derived seeds and consumed
     in submission order, so batches are deterministic in (seed, dataset) and
-    independent of the worker count."""
+    independent of the worker count AND of the pool mode (thread/process run
+    the identical per-image computation from the identical seeds)."""
     import logging
     from collections import deque
-    from concurrent.futures import ThreadPoolExecutor
 
     b = config.BATCH_SIZE
     image_ids = np.copy(dataset.image_ids)
     rng = np.random.RandomState(seed)
     depth = max(2 * workers, b)
-    pool = ThreadPoolExecutor(max_workers=workers,
-                              thread_name_prefix="myolo-data")
+
+    if pool_mode == "process":
+        pool = _ForkedLoaderPool(dataset, config, augment, augmentation,
+                                 workers)
+        seq_counter = [0]
+
+        def do_submit(image_id, img_seed):
+            seq = seq_counter[0]
+            seq_counter[0] += 1
+            pool.submit(seq, image_id, img_seed)
+            return seq
+
+        def do_result(handle):
+            return pool.result(handle)
+
+        def do_close():
+            pool.close()
+    elif pool_mode == "thread":
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=workers,
+                                  thread_name_prefix="myolo-data")
+
+        def do_submit(image_id, img_seed):
+            return pool.submit(_load_one, dataset, config, image_id,
+                               augment, augmentation, img_seed)
+
+        def do_result(handle):
+            return handle.result()
+
+        def do_close():
+            pool.shutdown(wait=False, cancel_futures=True)
+    else:
+        raise ValueError(f"DATA_WORKER_MODE must be 'thread' or 'process', "
+                         f"got {pool_mode!r}")
+
     try:
         pending: deque = deque()
         index, errors = -1, 0
@@ -283,16 +400,14 @@ def _data_generator_threaded(dataset, config, shuffle, augment, augmentation,
                 rng.shuffle(image_ids)
             image_id = int(image_ids[index])
             img_seed = int(rng.randint(1 << 31))
-            pending.append((image_id, pool.submit(
-                _load_one, dataset, config, image_id, augment, augmentation,
-                img_seed)))
+            pending.append((image_id, do_submit(image_id, img_seed)))
 
         while True:
             while len(pending) < depth:
                 submit_next()
-            image_id, fut = pending.popleft()
+            image_id, handle = pending.popleft()
             try:
-                item = fut.result()
+                item = do_result(handle)
                 errors = 0
             except Exception:
                 logging.exception("Error processing image %s",
@@ -320,5 +435,5 @@ def _data_generator_threaded(dataset, config, shuffle, augment, augmentation,
                 batch["gt_masks"] = gt_masks
             yield batch
     finally:
-        # reached on generator .close()/GC: don't leak pool threads
-        pool.shutdown(wait=False, cancel_futures=True)
+        # reached on generator .close()/GC: don't leak pool workers
+        do_close()

@@ -212,6 +212,26 @@ def test_data_generator_threaded_workers(tiny_config):
     assert next(gen)["image"].shape == (2, 64, 64, 3)
     gen.close()
 
+    # DATA_WORKER_MODE="process" (fork-start workers) produces bit-identical
+    # batches to thread mode — same per-image seeds, same computation
+    class PCfg(Cfg):
+        DATA_WORKER_MODE = "process"
+
+    gen = data_generator(ds, PCfg(), shuffle=True, seed=3,
+                         augmentation=augment.default_augmenter(seed=1),
+                         workers=2)
+    proc_batches = [next(gen) for _ in range(4)]
+    gen.close()
+    for ba, bb in zip(a, proc_batches):
+        for k in ba:
+            np.testing.assert_array_equal(ba[k], bb[k])
+
+    with pytest.raises(ValueError, match="thread.*process|process.*thread"):
+        class BadCfg(Cfg):
+            DATA_WORKER_MODE = "greenlet"
+
+        next(data_generator(ds, BadCfg(), workers=1))
+
 
 def test_mask_top_k_equivalent_when_few_survivors(tiny_net_and_vars, rng):
     """MASK_TOP_K < K yields the same detection SET (boxes/scores/classes/
