@@ -80,6 +80,24 @@ def test_degenerate_polygon_empty():
     assert not got.any()
 
 
+def test_resize_edge_cases(monkeypatch):
+    img = (_rng().rand(37, 41, 3) * 255).astype(np.float32)
+    for out in [(1, 1), (1, 64), (64, 1)]:
+        got = image_ops.resize_bilinear(img, out)
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(native, "LIB", None)
+            ref = image_ops.resize_bilinear(img, out)
+        np.testing.assert_array_equal(got, ref)
+    tiny = image_ops.resize_nearest(np.ones((5, 5), bool), (0.2, 0.2))
+    assert tiny.shape == (1, 1) and tiny.all()
+
+
+def test_polygon_fully_outside_canvas():
+    got = image_ops.polygon_mask([100.0, 140.0, 120.0],
+                                 [100.0, 100.0, 140.0], (48, 48))
+    assert not got.any()
+
+
 def test_fill_circle_matches_numpy(monkeypatch):
     rng = _rng()
     for cx, cy, r in [(10, 12, 5), (0, 0, 3), (47, 2, 9), (24, 24, 40)]:
