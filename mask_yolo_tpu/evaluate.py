@@ -54,8 +54,11 @@ def evaluate_dataset(model, dataset, config, image_ids=None, batch_size=8,
             pad = batch_size - batch.shape[0]
             batch = np.concatenate(
                 [batch, np.zeros((pad, h, w, 3), np.float32)])
-        out = {k: np.asarray(v) for k, v in
-               model.detect_batch(batch, mesh=mesh).items()}
+        # only forward mesh when set: model may be any duck-typed object
+        # with a plain detect_batch(images) (e.g. an int8-path adapter)
+        raw = (model.detect_batch(batch, mesh=mesh) if mesh is not None
+               else model.detect_batch(batch))
+        out = {k: np.asarray(v) for k, v in raw.items()}
 
         for bi, (gt_ids, gt_boxes, gt_masks) in enumerate(gts):
             keep = out["valid"][bi] & (out["scores"][bi] >= score_threshold)

@@ -37,6 +37,15 @@ def test_evaluate_dataset_untrained(tmp_path):
     assert sharded["box_ap50"] == result["box_ap50"]
     assert sharded["mask_ap50"] == result["mask_ap50"]
 
+    # duck-typed models with a plain detect_batch(images) (the int8-path
+    # adapter in tools/quality_run.py) must keep working when mesh is unset
+    class Adapter:
+        def detect_batch(self, images):
+            return model.detect_batch(images)
+
+    ducked = evaluate_dataset(Adapter(), ds, cfg, batch_size=2)
+    assert ducked["box_ap50"] == result["box_ap50"]
+
 
 def test_perfect_predictions_score_ap1():
     """Feeding the GT back as predictions must give AP50 = 1 on boxes and
