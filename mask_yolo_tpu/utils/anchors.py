@@ -49,8 +49,9 @@ def kmeans_anchors(wh: np.ndarray, k: int, seed: int = 0, iters: int = 1000):
 def boxes_to_wh(boxes: np.ndarray, image_shape) -> np.ndarray:
     """GT pixel boxes [N, (x1, y1, x2, y2)] → normalized (w, h) pairs."""
     boxes = np.asarray(boxes, dtype=np.float64)
-    w = (boxes[:, 2] - boxes[:, 0]) / image_shape[0]
-    h = (boxes[:, 3] - boxes[:, 1]) / image_shape[1]
+    # image_shape is [H, W, ...]
+    w = (boxes[:, 2] - boxes[:, 0]) / image_shape[1]
+    h = (boxes[:, 3] - boxes[:, 1]) / image_shape[0]
     keep = (w > 0) & (h > 0)
     return np.stack([w[keep], h[keep]], axis=1)
 

@@ -102,7 +102,7 @@ def NMB(boxes, class_ids, indices, image_shape, nms_threshold=0.3):
     """Second-stage class-aware suppression (myolo_utils.py:88-113): iterate
     in index order; i suppresses every later j with same class and
     pixel-space IoU >= threshold. Returns surviving entries of `indices`."""
-    w, h = image_shape[0], image_shape[1]
+    h, w = image_shape[0], image_shape[1]  # image_shape is [H, W, ...]
     scale = np.array([w, h, w, h], dtype=np.float64)
     list_to_remove = []
     for i in range(len(indices)):
@@ -120,7 +120,7 @@ def unmold_mask(mask, bbox, image_shape, threshold=0.5):
 
     bbox: (x1, y1, x2, y2) normalized.
     """
-    w, h = image_shape[0], image_shape[1]
+    h, w = image_shape[0], image_shape[1]  # image_shape is [H, W, ...]
     x1, y1, x2, y2 = bbox
     x1 = min(max(0, int(x1 * w)), w)
     x2 = min(max(1, int(x2 * w)), w)
