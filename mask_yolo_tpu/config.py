@@ -130,6 +130,11 @@ class Config:
     # measured 131 → 111 µs/img on the 416² backbone but SLOWER at 224²).
     QUANT_DW_INT8 = None
 
+    # int8-PTQ path: run stride-1 depthwise-separable blocks as ONE fused
+    # Pallas kernel (DW intermediate stays in VMEM, ops/pallas_ds.py).
+    # Requires QUANT_DW_INT8; see docs/PERFORMANCE.md for measurements.
+    QUANT_FUSED_DS = False
+
     # Host data-loading workers for data_generator (0 = load in the calling
     # thread). The reference computed cpu_count() but left Keras
     # multiprocessing disabled (model.py:1045, 1057-1058). DATA_WORKER_MODE:

@@ -123,7 +123,16 @@ class MaskYOLO:
             # freeze them (reference model.py:854-868). Keras .h5 files from
             # the reference codebase are converted on the fly (utils/keras_h5)
             if str(self.yolo_pretrain_dir).endswith((".h5", ".hdf5")):
-                self.load_weights_from_keras_h5(self.yolo_pretrain_dir)
+                report = self.load_weights_from_keras_h5(self.yolo_pretrain_dir)
+                # a pretrain file that contributes no YOLO-branch weights
+                # would silently leave a random (and, with
+                # yolo_trainable=False, frozen) head — fail loudly instead
+                if not any(p and p[0] == "yolo"
+                           for p in report.get("loaded_paths", ())):
+                    raise ValueError(
+                        f"{self.yolo_pretrain_dir} contained no YOLO-branch "
+                        f"weights (loaded: {report['loaded']}, skipped: "
+                        f"{report['skipped']})")
             else:
                 self.load_weights(self.yolo_pretrain_dir, by_name=True)
 
@@ -336,6 +345,12 @@ class MaskYOLO:
                                           set(exclude or ()), report)
         self.batch_stats = _deep_merge_by_name(self.batch_stats, stats,
                                                set(exclude or ()), report)
+        if report["skipped"] or report["shape_mismatch"]:
+            import warnings
+            warnings.warn(
+                f"keras_h5 load from {filepath}: skipped layers "
+                f"{report['skipped']}, shape mismatches "
+                f"{report['shape_mismatch']}", stacklevel=2)
         return report
 
     # -- inference -------------------------------------------------------------
@@ -465,6 +480,12 @@ class MaskYOLO:
         if weights_dir is not None:
             self.load_weights(weights_dir)
         if mesh is not None and mesh is not False:
+            if self._qdet is not None:
+                # an active quantized detector serves mesh requests too —
+                # consistent with the non-mesh path after quantize()
+                return self._qdet.detect_outputs(
+                    images_float,
+                    mesh=self.mesh if mesh is True else mesh)
             if self._sharded_det is None or (
                     mesh is not True and self._sharded_det.mesh is not mesh):
                 from .parallel.inference import ShardedDetector

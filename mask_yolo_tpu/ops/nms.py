@@ -34,25 +34,48 @@ def greedy_nms_mask(boxes, scores, iou_threshold: float):
     order = jnp.argsort(-scores)
     boxes_s = boxes[order]
     scores_s = scores[order]
-    iou = box_iou_matrix(boxes_s, boxes_s)
-    later = jnp.arange(n)[None, :] > jnp.arange(n)[:, None]  # j strictly after i
-    sup = later & (iou >= iou_threshold)
     active0 = scores_s > 0.0
-
-    def body(i, keep):
-        suppress = keep[i] & active0[i] & sup[i]
-        return keep & ~suppress
 
     if n <= 512:
         # unrolled so the whole suppression chain fuses into one XLA program
         # instead of n sequential fori_loop trips that each pay kernel-launch
         # latency (the dependency chain is inherent — greedy NMS is
         # order-sequential — but the per-step work is a tiny vector op)
+        iou = box_iou_matrix(boxes_s, boxes_s)
+        later = jnp.arange(n)[None, :] > jnp.arange(n)[:, None]
+        sup = later & (iou >= iou_threshold)
         keep_s = jnp.ones(n, dtype=bool)
         for i in range(n):
-            keep_s = body(i, keep_s)
+            suppress = keep_s[i] & active0[i] & sup[i]
+            keep_s = keep_s & ~suppress
     else:
-        keep_s = jax.lax.fori_loop(0, n, body, jnp.ones(n, dtype=bool))
+        # Blocked suppression for large N (e.g. 13·13·5 = 845 at 416²): tiles
+        # of TILE score-sorted boxes; each fori_loop trip handles one tile
+        # with a dense intra-tile unroll, carrying the keep mask across
+        # tiles. Sequential depth drops from N launches to N/TILE (7 at 845)
+        # while compile cost stays at one TILE-step unroll, and the per-tile
+        # [TILE, N] IoU slab replaces the full [N, N] matrix (which vmapped
+        # over 81 classes would be 81·N² floats).
+        TILE = 128
+        n_tiles = -(-n // TILE)
+        n_pad = n_tiles * TILE
+        boxes_p = jnp.pad(boxes_s, ((0, n_pad - n), (0, 0)))
+        active_p = jnp.pad(active0, (0, n_pad - n))
+        idx = jnp.arange(n_pad)
+
+        def tile_body(t, keep):
+            start = t * TILE
+            rows = jax.lax.dynamic_slice(boxes_p, (start, 0), (TILE, 4))
+            iou_t = box_iou_matrix(rows, boxes_p)  # [TILE, n_pad]
+            for i in range(TILE):
+                g = start + i
+                suppress = (keep[g] & active_p[g] & (idx > g)
+                            & (iou_t[i] >= iou_threshold))
+                keep = keep & ~suppress
+            return keep
+
+        keep_s = jax.lax.fori_loop(0, n_tiles, tile_body,
+                                   jnp.ones(n_pad, dtype=bool))[:n]
     # unsort
     keep = jnp.zeros(n, dtype=bool).at[order].set(keep_s)
     return keep

@@ -220,61 +220,82 @@ def pack_mask_weights(graph, num_classes: int):
 
 
 @functools.partial(jax.jit, static_argnames=("pool", "num_classes",
-                                              "interpret"))
+                                              "interpret", "k_block"))
 def fused_mask_branch(fmap, boxes, classes, weights, pool: int = 14,
-                      num_classes: int = 2, interpret: bool = False):
+                      num_classes: int = 2, interpret: bool = False,
+                      k_block: int = 16):
     """Fused per-ROI mask branch.
 
     fmap: [B, H, W, Cf] float (neck output); boxes: [B, K, 4] normalized
     (x1, y1, x2, y2); classes: [B, K] int32; weights: pack_mask_weights dict.
     Returns [B, K, 2·pool, 2·pool] f32 sigmoid masks of each ROI's class.
+
+    k_block: ROIs per grid step. The kernel body unrolls its per-ROI loops,
+    so compile cost is linear in the BLOCK size, not in K — the grid is
+    (B, ceil(K / k_block)) with the feature map resident across a row's
+    blocks (constant index over the fast axis). This is the K-blocked
+    restructuring that makes K = 100 (CocoStyleConfig) compile; the old
+    single-block layout (k_block >= K) blew past practical compile limits
+    there (docs/PERFORMANCE.md "Known remaining headroom").
     """
     b, h, w, cf = fmap.shape
     k = boxes.shape[1]
     co = weights["w1"].shape[-1]
     side = 2 * pool
 
+    kb = max(1, min(int(k_block), k))
+    nkb = -(-k // kb)
+    kp = nkb * kb
+    if kp != k:
+        # padded slots: zero boxes crop the (0, 0) texel, class 0 — harmless,
+        # sliced off below
+        boxes = jnp.pad(boxes, ((0, 0), (0, kp - k), (0, 0)))
+        classes = jnp.pad(classes, ((0, 0), (0, kp - k)))
+
     kernel = functools.partial(_mask_kernel, pool=pool, cf=cf, co=co,
-                               nc=num_classes, k=k)
+                               nc=num_classes, k=kb)
 
     sel4 = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b, nkb),
         in_specs=[
-            pl.BlockSpec((1, k, 4), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, kb, 4), lambda i, j: (i, j, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, k, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, kb, 1), lambda i, j: (i, j, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, h, w, cf), lambda i: (i, 0, 0, 0),
+            # constant over j (the fast grid axis): the image's feature map
+            # stays VMEM-resident across its K/kb blocks
+            pl.BlockSpec((1, h, w, cf), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9 * cf, co), lambda i: (0, 0),
+            pl.BlockSpec((9 * cf, co), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9 * co, co), lambda i: (0, 0),
+            pl.BlockSpec((9 * co, co), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9 * co, co), lambda i: (0, 0),
+            pl.BlockSpec((9 * co, co), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9 * co, co), lambda i: (0, 0),
+            pl.BlockSpec((9 * co, co), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((co, 4 * co), lambda i: (0, 0),
+            pl.BlockSpec((co, 4 * co), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * co, 4 * num_classes), lambda i: (0, 0),
+            pl.BlockSpec((4 * co, 4 * num_classes), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((5, 4 * co), lambda i: (0, 0),
+            pl.BlockSpec((5, 4 * co), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, 4 * co), lambda i: (0, 0),
+            pl.BlockSpec((6, 4 * co), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8), lambda i: (0, 0),
+            pl.BlockSpec((1, 8), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, k, pool * pool, 4),
-                               lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, kb, pool * pool, 4),
+                               lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, k, pool * pool, 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, kp, pool * pool, 4), jnp.float32),
         interpret=interpret,
     )(boxes, classes.astype(jnp.int32)[..., None], fmap.astype(jnp.bfloat16),
       weights["w1"], weights["w2"], weights["w3"], weights["w4"],
       weights["wd"], weights["wo"], weights["wsc"], weights["bias"],
       weights["asc"])
+    sel4 = sel4[:, :k]
     # depth-to-space on the tiny [B, K, P², 4] result (XLA, outside kernel)
     m = sel4.reshape(b, k, pool, pool, 2, 2).transpose(0, 1, 2, 4, 3, 5)
     return m.reshape(b, k, side, side)

@@ -56,8 +56,14 @@ class ShardedDetector:
         self._fn = detect
 
     def __call__(self, images_f32):
-        images = place_batch_array(np.asarray(images_f32, np.float32),
-                                   self._batch_sh)
+        # keep the caller's dtype: uint8 batches ship 4x less over the
+        # host→device link and are normalized on device by
+        # pipelines.images_f32 (casting to float32 HERE would skip that /255
+        # and feed 0..255 floats into the network — silent garbage)
+        images = np.asarray(images_f32)
+        if images.dtype != np.uint8:
+            images = images.astype(np.float32, copy=False)
+        images = place_batch_array(images, self._batch_sh)
         return self._fn(self.variables, images)
 
     def local_results(self, out):

@@ -291,20 +291,56 @@ def run_layer_int8(layer: Layer, x, x_scale=None, out_scale=None):
     return y, None
 
 
-def run_layers(layers, x, quant: bool, collect=None):
+def _fusable_ds_pair(layer, nxt, x_scale):
+    """Can (layer, nxt) run as one fused Pallas DS block? Requires: int8
+    input already at the dw scale, stride-1 int8 depthwise, int8 pointwise,
+    relu6 activations (ops/pallas_ds.py)."""
+    return (layer.kind == "dw" and layer.strides == (1, 1)
+            and layer.quantize and layer.w_q is not None
+            and layer.act == "relu6" and x_scale is not None
+            and nxt is not None and nxt.kind == "conv"
+            and nxt.w_q is not None and nxt.a_scale > 0.0
+            and nxt.act == "relu6")
+
+
+def run_layers(layers, x, quant: bool, collect=None, fused_ds: bool = False,
+               interpret: bool = False):
     if not quant:
         for layer in layers:
             x = run_layer_f32(layer, x, collect)
         return x
     scale = None
-    for i, layer in enumerate(layers):
+    i = 0
+    while i < len(layers):
+        layer = layers[i]
         nxt = layers[i + 1] if i + 1 < len(layers) else None
+        if fused_ds and _fusable_ds_pair(layer, nxt, scale):
+            # fused DW+PW Pallas block: the depthwise intermediate never
+            # touches HBM (ops/pallas_ds.py)
+            from .ops.pallas_ds import fused_ds_block, pack_ds_pair
+
+            packed = getattr(layer, "_ds_pack", None)
+            if packed is None or packed[0] != scale:
+                packed = (scale, pack_ds_pair(layer, nxt, scale))
+                layer._ds_pack = packed
+            kdw, dwsb, wpw, pwsb = packed[1]
+            nxt2 = layers[i + 2] if i + 2 < len(layers) else None
+            out_scale = (nxt2.a_scale if nxt2 is not None
+                         and nxt2.a_scale > 0.0 else 0.0)
+            x = fused_ds_block(x, jnp.asarray(kdw), jnp.asarray(dwsb),
+                               jnp.asarray(wpw), jnp.asarray(pwsb),
+                               a_pw=float(nxt.a_scale),
+                               s_out=float(out_scale), interpret=interpret)
+            scale = out_scale if out_scale else None
+            i += 2
+            continue
         # inter-layer tensors stay int8 in HBM whenever the next layer has a
         # calibrated input scale — even between bf16 layers, int8 storage is
         # the 4× activation-traffic cut (the bf16 layer dequantizes on load)
         out_scale = (nxt.a_scale if nxt is not None and nxt.a_scale > 0.0
                      else None)
         x, scale = run_layer_int8(layer, x, scale, out_scale)
+        i += 1
     assert scale is None  # segments end in an f32 (linear/sigmoid) layer
     return x
 
@@ -314,10 +350,13 @@ def run_layers(layers, x, quant: bool, collect=None):
 # ---------------------------------------------------------------------------
 
 
-def _trunk_outputs(graph, images, quant: bool, collect=None):
-    c4 = run_layers(graph["trunk"], images, quant, collect)
+def _trunk_outputs(graph, images, quant: bool, collect=None,
+                   fused_ds: bool = False, interpret: bool = False):
+    c4 = run_layers(graph["trunk"], images, quant, collect,
+                    fused_ds=fused_ds, interpret=interpret)
     fmap = run_layers(graph["neck"], c4, quant, collect)
-    raw = run_layers(graph["yolo"], c4, quant, collect)
+    raw = run_layers(graph["yolo"], c4, quant, collect,
+                     fused_ds=fused_ds, interpret=interpret)
     return raw, fmap
 
 
@@ -438,10 +477,14 @@ class QuantizedDetector:
         graph = quantize_weights(graph)
         return cls(graph, config, flax_trunk=flax_trunk)
 
-    def trunk(self, images, quant: bool = True):
+    def trunk(self, images, quant: bool = True, fused_ds: bool | None = None,
+              interpret: bool = False):
         if self.graph["trunk"] is None:
             return self._flax_trunk(images)
-        raw, fmap = _trunk_outputs(self.graph, images, quant)
+        if fused_ds is None:
+            fused_ds = bool(getattr(self.config, "QUANT_FUSED_DS", False))
+        raw, fmap = _trunk_outputs(self.graph, images, quant,
+                                   fused_ds=fused_ds, interpret=interpret)
         b, gh, gw = raw.shape[0], raw.shape[1], raw.shape[2]
         nb = self.config.N_BOX
         grid = raw.reshape(b, gh, gw, nb, raw.shape[-1] // nb)
@@ -494,6 +537,10 @@ class QuantizedDetector:
         if mesh is not None:
             from .parallel.mesh import batch_sharding, place_batch_array
 
-            images = place_batch_array(np.asarray(images, np.float32),
-                                       batch_sharding(mesh))
+            # keep uint8 batches uint8: the on-device images_f32 handles the
+            # /255 (a float32 cast here would skip it and feed 0..255 floats)
+            images = np.asarray(images)
+            if images.dtype != np.uint8:
+                images = images.astype(np.float32, copy=False)
+            images = place_batch_array(images, batch_sharding(mesh))
         return self._detect(images)

@@ -22,12 +22,20 @@ inference mode, quantized or not.
 
 from __future__ import annotations
 
+import collections
 import json
 import queue
 import threading
+import time
 from concurrent.futures import Future
 
 import numpy as np
+
+
+class QueueFullError(RuntimeError):
+    """Raised by submit() when the bounded request queue is at capacity —
+    backpressure instead of unbounded memory growth under overload. The HTTP
+    layer maps it to 429."""
 
 
 def mask_to_rle(mask: np.ndarray) -> list[int]:
@@ -66,15 +74,21 @@ class BatchingExecutor:
     """
 
     def __init__(self, model, config, batch_size: int | None = None,
-                 max_delay_s: float = 0.005, score_threshold: float = 0.35):
+                 max_delay_s: float = 0.005, score_threshold: float = 0.35,
+                 max_queue: int | None = None):
         self.model = model
         self.config = config
         self.batch_size = int(batch_size or config.BATCH_SIZE)
         self.max_delay_s = float(max_delay_s)
         self.score_threshold = float(score_threshold)
-        self._queue: queue.Queue = queue.Queue()
+        # bounded queue: overload rejects fast (QueueFullError → HTTP 429)
+        # instead of accumulating requests whose deadline already passed
+        self.max_queue = int(max_queue) if max_queue else 8 * self.batch_size
+        self._queue: queue.Queue = queue.Queue(maxsize=self.max_queue)
         self._stop = threading.Event()
-        self.stats = {"requests": 0, "batches": 0, "padded_slots": 0}
+        self.stats = {"requests": 0, "batches": 0, "padded_slots": 0,
+                      "rejected": 0}
+        self._latencies: collections.deque = collections.deque(maxlen=1024)
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -89,8 +103,15 @@ class BatchingExecutor:
             raise ValueError(f"expected image shape {(h, w, c)}, got {image.shape}")
         if image.dtype != np.uint8:
             raise ValueError(f"expected uint8 image, got {image.dtype}")
+        if self._stop.is_set():
+            raise RuntimeError("executor is shut down")
         fut: Future = Future()
-        self._queue.put((image, include_masks, fut))
+        try:
+            self._queue.put_nowait((time.monotonic(), image, include_masks, fut))
+        except queue.Full:
+            self.stats["rejected"] += 1
+            raise QueueFullError(
+                f"request queue full ({self.max_queue} pending)") from None
         return fut
 
     def detect(self, image: np.ndarray, include_masks: bool = False,
@@ -108,19 +129,38 @@ class BatchingExecutor:
         self.detect(np.zeros((h, w, c), np.uint8), timeout=timeout)
 
     def shutdown(self):
+        """Stop the worker (no sentinel: the worker polls _stop with a short
+        get timeout, so a mid-batch shutdown can't swallow a wakeup token and
+        leave the thread blocked forever) and fail any still-queued requests."""
         self._stop.set()
-        self._queue.put(None)
         self._worker.join(timeout=5.0)
+        while True:
+            try:
+                *_, fut = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(RuntimeError("executor is shut down"))
+
+    @property
+    def latency_ms(self) -> dict:
+        """p50/p99 end-to-end (submit → result) latency over the last 1024
+        requests, in milliseconds."""
+        lat = sorted(self._latencies)
+        if not lat:
+            return {"p50": None, "p99": None, "n": 0}
+        return {"p50": 1e3 * lat[len(lat) // 2],
+                "p99": 1e3 * lat[min(len(lat) - 1, int(len(lat) * 0.99))],
+                "n": len(lat)}
 
     # -- worker ---------------------------------------------------------------
 
     def _run(self):
-        import time
-
         h, w, c = self.config.IMAGE_SHAPE
         while not self._stop.is_set():
-            item = self._queue.get()
-            if item is None:  # shutdown sentinel; loop re-checks _stop
+            try:
+                item = self._queue.get(timeout=0.05)
+            except queue.Empty:
                 continue
             items = [item]
             deadline = time.monotonic() + self.max_delay_s
@@ -129,30 +169,29 @@ class BatchingExecutor:
                 if remain <= 0:
                     break
                 try:
-                    nxt = self._queue.get(timeout=remain)
+                    items.append(self._queue.get(timeout=remain))
                 except queue.Empty:
                     break
-                if nxt is None:
-                    break
-                items.append(nxt)
 
             batch = np.zeros((self.batch_size, h, w, c), np.uint8)
-            for i, (img, _, _) in enumerate(items):
+            for i, (_, img, _, _) in enumerate(items):
                 batch[i] = img
             try:
                 out = {k: np.asarray(v)
                        for k, v in self.model.detect_batch(batch).items()}
             except Exception as e:  # propagate to every waiting client
-                for _, _, fut in items:
+                for *_, fut in items:
                     if not fut.done():
                         fut.set_exception(e)
                 continue
             self.stats["requests"] += len(items)
             self.stats["batches"] += 1
             self.stats["padded_slots"] += self.batch_size - len(items)
-            for i, (_, include_masks, fut) in enumerate(items):
+            now = time.monotonic()
+            for i, (t0, _, include_masks, fut) in enumerate(items):
                 if not fut.done():
                     fut.set_result(self._format(out, i, include_masks))
+                    self._latencies.append(now - t0)
 
     def _format(self, out, i: int, include_masks: bool) -> dict:
         labels = list(getattr(self.config, "LABELS", []) or [])
@@ -203,7 +242,9 @@ class InferenceServer:
             def do_GET(self):
                 if self.path == "/healthz":
                     self._reply(200, {"ok": True, "stats": ex.stats,
-                                      "batch_size": ex.batch_size})
+                                      "batch_size": ex.batch_size,
+                                      "max_queue": ex.max_queue,
+                                      "latency_ms": ex.latency_ms})
                 else:
                     self._reply(404, {"error": "not found"})
 
@@ -218,6 +259,8 @@ class InferenceServer:
                     include = self.headers.get("X-Include-Masks", "0") == "1"
                     result = ex.detect(image, include_masks=include)
                     self._reply(200, result)
+                except QueueFullError as e:
+                    self._reply(429, {"error": str(e)})
                 except ValueError as e:
                     self._reply(400, {"error": str(e)})
                 except Exception as e:

@@ -84,12 +84,49 @@ def _layer_map(name: str):
     return None, None
 
 
-def _read_layer_weights(h5file, layer_name):
-    """Ordered weight arrays of one layer from a Keras-2 save_weights file."""
-    g = h5file[layer_name]
+def _group_layer_weights(group):
+    """Resolve every Keras layer stored under a layer group.
+
+    Keras-2 `save_weights` gives each top-level layer a group whose
+    `weight_names` attr lists per-variable dataset paths. For a plain layer
+    the paths are '<layer>/<var>:0'; for a nested sub-Model layer (the
+    reference wraps the YOLO branch in a sub-Model at model.py:854-868, so
+    ModelCheckpoint files carry a 'yolo_model' group) the SAME attr lists
+    paths of every nested layer ('conv_dw_7/depthwise_kernel:0', ...), with
+    the sub-groups themselves carrying no attrs. So the group-level attr is
+    the single source of truth: group variables by the first path component
+    that `_layer_map` recognizes, preserving the attr's variable order
+    (which is Keras's layer.weights order: kernel[, bias] / gamma, beta,
+    moving_mean, moving_variance).
+
+    Returns an ordered dict {keras_layer_name: [np.ndarray, ...]}.
+    Falls back to recursive dataset discovery when the attr is absent.
+    """
     names = [n.decode() if isinstance(n, bytes) else n
-             for n in g.attrs["weight_names"]]
-    return [np.asarray(g[n]) for n in names]
+             for n in group.attrs.get("weight_names", [])]
+    by_layer: dict = {}
+    if names:
+        for n in names:
+            parts = n.split("/")
+            layer = next((c for c in parts[:-1] if _layer_map(c)[0] is not None),
+                         parts[0])
+            by_layer.setdefault(layer, []).append(np.asarray(group[n]))
+        return by_layer
+
+    # no weight_names attr anywhere: walk the subtree collecting datasets
+    def walk(g, prefix):
+        for key in g:
+            item = g[key]
+            if hasattr(item, "keys"):
+                walk(item, prefix + [key])
+            else:
+                layer = next((c for c in prefix + [key]
+                              if _layer_map(c)[0] is not None),
+                             (prefix + [key])[0])
+                by_layer.setdefault(layer, []).append(np.asarray(item))
+
+    walk(group, [])
+    return by_layer
 
 
 def load_keras_h5(path):
@@ -97,13 +134,14 @@ def load_keras_h5(path):
 
     Returns (params, batch_stats, report): nested dicts shaped like this
     framework's variable collections (only the subtrees present in the file),
-    plus a report dict {'loaded': [...], 'skipped': [...]} of layer names.
+    plus a report dict {'loaded': [...], 'skipped': [...], 'loaded_paths':
+    [...]} of layer names / destination path tuples.
     """
     import h5py
 
     params: dict = {}
     stats: dict = {}
-    report = {"loaded": [], "skipped": []}
+    report = {"loaded": [], "skipped": [], "loaded_paths": []}
 
     def set_path(tree, pathlist, leafdict):
         node = tree
@@ -120,31 +158,25 @@ def load_keras_h5(path):
         if not layer_names:  # fall back to group discovery
             layer_names = [k for k in root.keys()]
         for name in layer_names:
-            path_t, kind = _layer_map(name)
-            weights = _read_layer_weights(root, name) if name in root else []
-            # Keras nests sub-Model weights one group deeper (the yolo_model
-            # sub-model appears as a 'yolo_model' layer containing the
-            # conv_dw_7.. groups) — recurse one level
-            if not weights and name in root and hasattr(root[name], "keys"):
-                for sub in root[name]:
-                    subpath, subkind = _layer_map(sub)
-                    if subpath is None:
-                        report["skipped"].append(f"{name}/{sub}")
-                        continue
-                    _convert(root[name], sub, subpath, subkind,
-                             params, stats, set_path, report)
-                continue
-            if path_t is None or not weights:
+            if name not in root:
                 report["skipped"].append(name)
                 continue
-            _convert(root, name, path_t, kind, params, stats, set_path, report)
+            by_layer = _group_layer_weights(root[name])
+            if not by_layer:
+                report["skipped"].append(name)
+                continue
+            for lname, weights in by_layer.items():
+                path_t, kind = _layer_map(lname)
+                label = lname if lname == name else f"{name}/{lname}"
+                if path_t is None or not weights:
+                    report["skipped"].append(label)
+                    continue
+                _convert(weights, label, path_t, kind,
+                         params, stats, set_path, report)
     return params, stats, report
 
 
-def _convert(group, name, path_t, kind, params, stats, set_path, report):
-    import numpy as _np  # noqa: F401
-
-    weights = _read_layer_weights(group, name)
+def _convert(weights, name, path_t, kind, params, stats, set_path, report):
     if kind == "bn":
         p, s = _bn_entry(weights)
         set_path(params, list(path_t), p)
@@ -162,6 +194,7 @@ def _convert(group, name, path_t, kind, params, stats, set_path, report):
             entry["bias"] = weights[1]
         set_path(params, list(path_t), entry)
     report["loaded"].append(name)
+    report.setdefault("loaded_paths", []).append(tuple(path_t))
 
 
 def save_keras_h5(path, params, batch_stats=None):

@@ -38,6 +38,32 @@ def test_greedy_nms_matches_numpy(rng):
         assert np.array_equal(got, exp)
 
 
+def test_greedy_nms_blocked_large_n_matches_numpy(rng):
+    """N > 512 takes the blocked-tile path (TILE=128 with inter-tile mask
+    carry) — must agree with the sequential numpy greedy at N=845 (the
+    13·13·5 CocoStyleConfig box count), including the non-multiple-of-128
+    padding tail."""
+    for n in (600, 845):
+        boxes, scores = random_boxes_scores(rng, n)
+        scores[rng.choice(n, 50, replace=False)] = 0.0  # inactive slots
+        got = np.asarray(greedy_nms_mask(jnp.asarray(boxes), jnp.asarray(scores), 0.4))
+        exp = numpy_greedy_nms(boxes, scores, 0.4)
+        assert np.array_equal(got, exp)
+
+
+def test_class_aware_nms_large_n(rng):
+    """class_aware_nms at 845 boxes (the infer_yolo 416² shape) stays exact
+    through the blocked path, vmapped over classes."""
+    boxes, _ = random_boxes_scores(rng, 845)
+    class_scores = rng.rand(845, 3).astype(np.float32)
+    class_scores[class_scores < 0.5] = 0.0
+    out = np.asarray(class_aware_nms(jnp.asarray(boxes),
+                                     jnp.asarray(class_scores), 0.4))
+    for c in range(3):
+        keep = numpy_greedy_nms(boxes, class_scores[:, c], 0.4)
+        np.testing.assert_allclose(out[:, c], class_scores[:, c] * keep)
+
+
 def test_greedy_nms_zero_scores_never_suppress(rng):
     boxes = np.array([[0, 0, 1, 1], [0, 0, 1, 1]], dtype=np.float32)
     scores = np.array([0.0, 0.9], dtype=np.float32)

@@ -92,3 +92,27 @@ def test_fused_kernel_out_of_range_boxes_zero_crop(qgraph):
     out = np.asarray(out)
     assert np.all(np.isfinite(out))
     assert np.all((out >= 0) & (out <= 1))
+
+
+def test_fused_kernel_k_blocked_matches_single_block(qgraph, rng):
+    """K-blocked grid (k_block < K, K not a multiple) must produce exactly
+    the same masks as the single-block layout — the restructuring that makes
+    K=100 compile (VERDICT r2 #4b)."""
+    cfg, det, fmap = qgraph
+    b = fmap.shape[0]
+    k = 7  # with k_block=3 → 3 blocks, last one padded
+    lo = rng.uniform(0.0, 0.5, size=(b, k, 2)).astype(np.float32)
+    span = rng.uniform(0.1, 0.45, size=(b, k, 2)).astype(np.float32)
+    boxes = np.concatenate([lo, lo + span], axis=-1)
+    classes = rng.randint(0, cfg.NUM_CLASSES, size=(b, k)).astype(np.int32)
+    weights = pallas_mask.pack_mask_weights(det.graph, cfg.NUM_CLASSES)
+
+    full = pallas_mask.fused_mask_branch(
+        jnp.asarray(fmap), jnp.asarray(boxes), jnp.asarray(classes), weights,
+        pool=cfg.MASK_POOL_SIZE, num_classes=cfg.NUM_CLASSES, interpret=True,
+        k_block=k)
+    blocked = pallas_mask.fused_mask_branch(
+        jnp.asarray(fmap), jnp.asarray(boxes), jnp.asarray(classes), weights,
+        pool=cfg.MASK_POOL_SIZE, num_classes=cfg.NUM_CLASSES, interpret=True,
+        k_block=3)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(blocked))

@@ -93,6 +93,105 @@ def test_executor_masks_rle(served_model, rng):
         ex.shutdown()
 
 
+def test_shutdown_semantics(served_model, rng):
+    """shutdown() actually stops the worker; submit() after shutdown raises;
+    queued-but-unprocessed requests fail instead of hanging forever."""
+    model, cfg = served_model
+    ex = BatchingExecutor(model, cfg, max_delay_s=0.01)
+    img = (rng.rand(*cfg.IMAGE_SHAPE) * 255).astype(np.uint8)
+    ex.detect(img, timeout=120)  # worker alive and serving
+    ex.shutdown()
+    assert not ex._worker.is_alive()
+    with pytest.raises(RuntimeError, match="shut down"):
+        ex.submit(img)
+
+    # shutdown with requests still in the queue: futures must resolve (to an
+    # error), not hang. Use a model stub that blocks so the queue backs up.
+    import threading
+    release = threading.Event()
+
+    class SlowModel:
+        def detect_batch(self, batch):
+            release.wait(timeout=30)
+            return model.detect_batch(batch)
+
+    ex2 = BatchingExecutor(SlowModel(), cfg, batch_size=1, max_delay_s=0.0)
+    futs = [ex2.submit(img) for _ in range(3)]
+    release.set()
+    ex2.shutdown()
+    for f in futs:
+        try:
+            f.result(timeout=10)  # processed before shutdown → fine
+        except RuntimeError as e:
+            assert "shut down" in str(e)  # drained at shutdown → failed fast
+
+
+def test_queue_backpressure(served_model, rng):
+    """A full bounded queue rejects with QueueFullError (→ 429) instead of
+    growing without limit."""
+    import threading
+
+    from mask_yolo_tpu.serve import QueueFullError
+
+    model, cfg = served_model
+    release = threading.Event()
+
+    class BlockedModel:
+        def detect_batch(self, batch):
+            release.wait(timeout=60)
+            return model.detect_batch(batch)
+
+    ex = BatchingExecutor(BlockedModel(), cfg, batch_size=1, max_delay_s=0.0,
+                          max_queue=2)
+    img = (rng.rand(*cfg.IMAGE_SHAPE) * 255).astype(np.uint8)
+    try:
+        futs = [ex.submit(img)]  # worker picks this up and blocks
+        import time
+        time.sleep(0.3)
+        futs += [ex.submit(img), ex.submit(img)]  # fills queue (maxsize 2)
+        with pytest.raises(QueueFullError):
+            ex.submit(img)
+        assert ex.stats["rejected"] == 1
+        release.set()
+        for f in futs:
+            f.result(timeout=120)
+        assert ex.latency_ms["n"] == 3 and ex.latency_ms["p99"] > 0
+    finally:
+        release.set()
+        ex.shutdown()
+
+
+def test_concurrent_clients_stress(served_model, rng):
+    """Many concurrent clients against one executor: every request resolves,
+    results are per-request correct (batching never crosses wires)."""
+    model, cfg = served_model
+    ex = BatchingExecutor(model, cfg, max_delay_s=0.02, score_threshold=0.0)
+    try:
+        images = (rng.rand(24, *cfg.IMAGE_SHAPE) * 255).astype(np.uint8)
+
+        def client(i):
+            return i, ex.detect(images[i], timeout=120)
+
+        with concurrent.futures.ThreadPoolExecutor(12) as pool:
+            results = dict(pool.map(client, range(24)))
+        assert len(results) == 24
+        # spot-check wire integrity: request i's result equals a direct
+        # single-image run of image i
+        for i in (0, 7, 23):
+            direct = {k: np.asarray(v) for k, v in model.detect_batch(
+                np.broadcast_to(images[i],
+                                (cfg.BATCH_SIZE, *cfg.IMAGE_SHAPE))).items()}
+            keep = direct["valid"][0]
+            dets = results[i]["detections"]
+            assert len(dets) == int(keep.sum())
+            for d, j in zip(dets, np.where(keep)[0]):
+                assert d["score"] == pytest.approx(
+                    float(direct["scores"][0, j]), abs=1e-5)
+        assert ex.latency_ms["n"] == 24
+    finally:
+        ex.shutdown()
+
+
 def test_http_server_end_to_end(served_model, rng):
     model, cfg = served_model
     ex = BatchingExecutor(model, cfg, max_delay_s=0.05, score_threshold=0.0)
@@ -102,6 +201,7 @@ def test_http_server_end_to_end(served_model, rng):
         with urllib.request.urlopen(f"{url}/healthz") as r:
             health = json.loads(r.read())
         assert health["ok"] and health["batch_size"] == cfg.BATCH_SIZE
+        assert "latency_ms" in health and "max_queue" in health
 
         def post(img):
             buf = io.BytesIO()
