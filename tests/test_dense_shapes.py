@@ -1,0 +1,82 @@
+"""DenseShapesDataset: the 80-class / >MASK_TOP_K-instances quality fixture."""
+
+import numpy as np
+
+from mask_yolo_tpu.config import CocoStyleConfig
+from mask_yolo_tpu.data.dense_shapes import DenseShapesDataset
+
+
+def _make(count=6, seed=3, hw=(416, 416)):
+    d = DenseShapesDataset()
+    d.load_dense(count, hw[0], hw[1], seed=seed)
+    d.prepare()
+    return d
+
+
+def test_dense_shapes_class_space():
+    d = _make()
+    assert d.num_classes == 81  # BG + 80
+    all_ids = np.concatenate([d.load_mask(i)[1] for i in d.image_ids])
+    assert all_ids.min() >= 1 and all_ids.max() <= 80
+    assert len(np.unique(all_ids)) > 20  # classes actually spread
+
+
+def test_dense_shapes_instance_density():
+    d = _make(count=8, seed=1)
+    counts = [d.load_mask(i)[0].shape[-1] for i in d.image_ids]
+    assert max(counts) > CocoStyleConfig.MASK_TOP_K  # stresses top-K fallback
+    assert min(counts) >= 10
+
+
+def test_dense_shapes_deterministic():
+    a, b = _make(3, seed=5), _make(3, seed=5)
+    for i in a.image_ids:
+        np.testing.assert_array_equal(a.load_image(i), b.load_image(i))
+        ma, ia = a.load_mask(i)
+        mb, ib = b.load_mask(i)
+        np.testing.assert_array_equal(ma, mb)
+        np.testing.assert_array_equal(ia, ib)
+
+
+def test_dense_shapes_class_is_learnable_from_pixels():
+    """The class must be derivable from shape+color of the visible mask —
+    check the color octant of the dominant mask pixels maps back."""
+    d = _make(2, seed=7)
+    img = d.load_image(0)
+    masks, ids = d.load_mask(0)
+    info = d.image_info[0]
+    vis = [s for s in info["shapes"]]
+    # spot-check a handful of instances whose mask survived occlusion
+    checked = 0
+    for i in range(masks.shape[-1]):
+        m = masks[..., i]
+        if m.sum() < 30:
+            continue
+        mean_color = img[m].mean(axis=0)
+        # mask interior is the fill color unless occluded; match an original
+        # spec with that color and confirm the id
+        for shape, color, _ in vis:
+            if np.abs(mean_color - color).max() < 30:
+                if d.class_of(shape, color) == ids[i]:
+                    checked += 1
+                    break
+    assert checked >= 3
+
+
+def test_dense_shapes_encodes_with_coco_config():
+    from mask_yolo_tpu.data.encoder import encode_batch
+    from mask_yolo_tpu.data.loader import load_image_gt
+
+    cfg = CocoStyleConfig()
+    d = _make(2, seed=2)
+    g = cfg.MAX_GT_INSTANCES
+    boxes = np.zeros((2, g, 4), np.float32)
+    ids = np.zeros((2, g), np.int32)
+    for i in d.image_ids:
+        _, cls, bx, _ = load_image_gt(d, cfg, i)
+        k = min(len(cls), g)
+        boxes[i, :k] = bx[:k]
+        ids[i, :k] = cls[:k]
+    t, tb = encode_batch(boxes, ids, cfg)
+    assert t.shape == (2, 13, 13, 5, 5 + 81)
+    assert t[..., 4].sum() > 20  # dense scenes → many responsible anchors

@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--compute-dtype", default=None,
                     choices=["float32", "bfloat16"],
                     help="override Config.COMPUTE_DTYPE for the run")
+    ap.add_argument("--backbone", default=None,
+                    choices=["mobilenet", "resnet50_fpn"],
+                    help="override Config.BACKBONE (resnet50_fpn = the "
+                         "reference README's stated scale-up path, "
+                         "/root/reference/README.md:5)")
     ap.add_argument("--augment", action="store_true",
                     help="seeded per-epoch flip/rot90/scale/brightness "
                          "augmentation (data/augment.default_augmenter)")
@@ -50,6 +55,8 @@ def main():
 
     if args.compute_dtype:
         RunConfig.COMPUTE_DTYPE = args.compute_dtype
+    if args.backbone:
+        RunConfig.BACKBONE = args.backbone
     config = RunConfig()
     os.makedirs(args.out, exist_ok=True)
 

@@ -1,0 +1,143 @@
+"""80-class quality run at the CocoStyleConfig operating point (416², 81
+classes, MASK_TOP_K) — VERDICT r2 missing #2/#3's "quality evidence".
+
+Pipeline (exercises the COCO loader end-to-end, not just in unit tests):
+  1. generate a dense multi-class synthetic dataset (data/dense_shapes.py:
+     80 classes, up to 48 instances/image — past MASK_TOP_K=32);
+  2. export it to an on-disk COCO-style dataset (images/*.png + COCO JSON
+     with RLE segmentations, data/coco.dataset_to_coco_json);
+  3. reload through data/coco.CocoDataset — training and evaluation read
+     ONLY the COCO-format copy;
+  4. train CocoStyleConfig on the TPU, evaluate pooled box/mask AP, eval the
+     int8 PTQ path, save overlays + metrics.json.
+
+Run: python tools/quality_run_coco.py --epochs 25 --train-images 300
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _make_coco_copy(out_dir, count, seed, num_classes):
+    """Dense synthetic set → on-disk COCO dataset → CocoDataset."""
+    from mask_yolo_tpu.data.coco import CocoDataset, dataset_to_coco_json
+    from mask_yolo_tpu.data.dense_shapes import DenseShapesDataset
+
+    src = DenseShapesDataset()
+    src.load_dense(count, 416, 416, seed=seed, num_classes=num_classes)
+    src.prepare()
+    ann = dataset_to_coco_json(src, out_dir)
+    d = CocoDataset()
+    d.load_coco(ann, os.path.join(out_dir, "images"))
+    d.prepare()
+    return d
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train-images", type=int, default=300)
+    ap.add_argument("--val-images", type=int, default=32)
+    ap.add_argument("--eval-images", type=int, default=48)
+    ap.add_argument("--epochs", type=int, default=25)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--out", default="./quality_run_coco")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--num-classes", type=int, default=80)
+    ap.add_argument("--score-threshold", type=float, default=0.35)
+    ap.add_argument("--num-overlays", type=int, default=3)
+    ap.add_argument("--mask-top-k", type=int, default=None,
+                    help="override CocoStyleConfig.MASK_TOP_K for eval")
+    ap.add_argument("--skip-int8", action="store_true")
+    args = ap.parse_args()
+
+    from mask_yolo_tpu import MaskYOLO, evaluate_dataset
+    from mask_yolo_tpu.config import CocoStyleConfig
+
+    class RunConfig(CocoStyleConfig):
+        BATCH_SIZE = args.batch_size
+        NUM_CLASSES = 1 + args.num_classes
+        LABELS = (["background"]
+                  + [f"c{i:02d}" for i in range(1, args.num_classes + 1)])
+
+    if args.mask_top_k is not None:
+        RunConfig.MASK_TOP_K = args.mask_top_k
+    config = RunConfig()
+    os.makedirs(args.out, exist_ok=True)
+
+    print("materializing COCO-format datasets ...", flush=True)
+    train_ds = _make_coco_copy(os.path.join(args.out, "coco_train"),
+                               args.train_images, args.seed, args.num_classes)
+    val_ds = _make_coco_copy(os.path.join(args.out, "coco_val"),
+                             args.val_images, args.seed + 1, args.num_classes)
+    eval_ds = _make_coco_copy(os.path.join(args.out, "coco_eval"),
+                              args.eval_images, args.seed + 2, args.num_classes)
+    print(f"train={len(train_ds.image_ids)} val={len(val_ds.image_ids)} "
+          f"eval={len(eval_ds.image_ids)} classes={train_ds.num_classes}",
+          flush=True)
+
+    model = MaskYOLO(mode="training", config=config,
+                     model_dir=os.path.join(args.out, "ckpt"), seed=args.seed)
+    t0 = time.perf_counter()
+    model.train(train_ds, val_ds, learning_rate=args.lr, epochs=args.epochs,
+                layers="all")
+    train_s = time.perf_counter() - t0
+    weights = os.path.join(args.out, "weights")
+    model.save_weights(weights)
+    print(f"trained {args.epochs} epochs in {train_s:.0f}s", flush=True)
+
+    infer = MaskYOLO(mode="inference", config=RunConfig())
+    infer.load_weights(weights)
+
+    t0 = time.perf_counter()
+    result = evaluate_dataset(infer, eval_ds, config, batch_size=8,
+                              score_threshold=args.score_threshold)
+    eval_s = time.perf_counter() - t0
+    result.pop("per_image", None)
+
+    if not args.skip_int8:
+        import numpy as np
+
+        from mask_yolo_tpu.data.loader import load_image_gt
+        from mask_yolo_tpu.quant import QuantizedDetector
+
+        calib = np.stack([
+            load_image_gt(eval_ds, config, i)[0].astype(np.float32) / 255.0
+            for i in list(eval_ds.image_ids)[:8]])
+        qdet = QuantizedDetector.from_variables(infer.variables, config, calib)
+
+        class _QuantAdapter:
+            def detect_batch(self, images):
+                import jax.numpy as jnp
+                return qdet.detect_outputs(jnp.asarray(images))
+
+        q = evaluate_dataset(_QuantAdapter(), eval_ds, config, batch_size=8,
+                             score_threshold=args.score_threshold)
+        result["int8_box_ap50"] = q["box_ap50"]
+        result["int8_mask_ap50"] = q["mask_ap50"]
+
+    result["train_seconds"] = round(train_s, 1)
+    result["eval_seconds"] = round(eval_s, 1)
+    result["epochs"] = args.epochs
+    result["train_images"] = args.train_images
+    result["num_classes"] = args.num_classes
+    result["mask_top_k"] = config.MASK_TOP_K
+    with open(os.path.join(args.out, "metrics.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2), flush=True)
+
+    for image_id in list(eval_ds.image_ids)[:args.num_overlays]:
+        infer.detect(eval_ds.load_image(image_id), save_path=args.out,
+                     cs_threshold=args.score_threshold)
+    print("overlays saved to", args.out, flush=True)
+
+
+if __name__ == "__main__":
+    main()
