@@ -35,18 +35,21 @@ import numpy as np
 TARGET = 5000.0
 
 
-def _setup():
+def _setup(backbone: str | None = None):
     from mask_yolo_tpu.data.shapes import ShapesConfig
     from mask_yolo_tpu.models.network import MaskYoloNet
 
     class BenchConfig(ShapesConfig):
         COMPUTE_DTYPE = "bfloat16"
 
+    if backbone:
+        BenchConfig.BACKBONE = backbone
     cfg = BenchConfig()
     net = MaskYoloNet(num_classes=cfg.NUM_CLASSES, n_box=cfg.N_BOX,
                       top_feature_map_depth=cfg.TOP_FEATURE_MAP_DEPTH,
                       mask_pool_size=cfg.MASK_POOL_SIZE, backbone=cfg.BACKBONE,
-                      compute_dtype=cfg.COMPUTE_DTYPE)
+                      compute_dtype=cfg.COMPUTE_DTYPE,
+                      image_hw=tuple(cfg.IMAGE_SHAPE[:2]))
     rng = jax.random.PRNGKey(0)
     img = jnp.zeros((1, *cfg.IMAGE_SHAPE), jnp.float32)
     variables = jax.jit(lambda r, i, ro: net.init(r, i, ro, train=False))(
@@ -142,12 +145,21 @@ def bench_detect(call, cfg, batch_size: int,
 
 
 def main():
+    import argparse
+
     from mask_yolo_tpu.quant import QuantizedDetector
 
-    cfg, net, variables = _setup()
+    ap = argparse.ArgumentParser()
+    # default None keeps the driver-run flagship point unchanged
+    ap.add_argument("--backbone", default=None,
+                    choices=["mobilenet", "resnet50_fpn"])
+    args = ap.parse_args()
+
+    cfg, net, variables = _setup(args.backbone)
     repeat_bf16 = make_repeat_fn(net, cfg)
     calib = np.random.RandomState(1).rand(8, *cfg.IMAGE_SHAPE).astype(np.float32)
-    det = QuantizedDetector.from_variables(jax.device_get(variables), cfg, calib)
+    det = QuantizedDetector.from_variables(jax.device_get(variables), cfg,
+                                           calib, net=net)
     repeat_int8 = make_repeat_fn_int8(det)
 
     # the fused Pallas mask kernel (make_repeat_fn_int8(det, fused=True))
@@ -185,6 +197,8 @@ def main():
         "per_path": {k: round(v, 1) for k, v in per_path.items()},
         "device": str(jax.devices()[0]),
     }
+    if args.backbone:
+        result["backbone"] = args.backbone
     print(json.dumps(result))
 
 

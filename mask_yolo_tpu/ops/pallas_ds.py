@@ -7,9 +7,12 @@ convs with the depthwise output round-tripping through HBM
 time in those round-trips at 416²). This kernel keeps the depthwise result
 in VMEM:
 
-  * grid = (batch, row-tiles); each step DMAs its input row-tile + 1-row
-    halo from HBM (the input is pre-padded by one zero ring in XLA so tile
-    offsets never need clamping) into a VMEM scratch;
+  * grid = (batch, row-tiles). Halo handling uses THREE row-shifted views
+    of the zero-ring-padded input (rows r-1 / r / r+1), sliced out in XLA —
+    standard pipelined BlockSpecs, no manual DMA. (A first version DMA'd a
+    [TH+2, W+2, C] halo window from an ANY-space ref; Mosaic rejects such
+    copies unless the sliced sublane extent is 8-aligned — W+2 = 210 at
+    416² — so the shifted-views formulation is the robust one.)
   * the 3×3 depthwise conv is nine shifted int8·int8 multiply-accumulates
     in int32 on the VPU — bit-identical to XLA's grouped int8 conv
     (integer arithmetic is order-exact);
@@ -39,26 +42,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _ds_kernel(x_hbm, kdw_ref, dwsc_ref, wpw_ref, pwsc_ref, out_ref,
-               x_t, sem, *, th: int, w: int, c: int, o: int,
+def _ds_kernel(x_top, x_mid, x_bot, kdw_ref, dwsc_ref, wpw_ref, pwsc_ref,
+               out_ref, *, th: int, w: int, c: int, o: int,
                inv_a_pw: float, inv_s_out: float):
-    """One (image, row-tile) step. x_hbm: [B, H+2, W+2, C] int8 (padded, in
-    HBM/ANY); x_t: VMEM scratch [TH+2, W+2, C] int8; out block [1, TH, W, O].
-    dwsc_ref: [2, C] f32 (w_scale·s_in, bias); pwsc_ref: [2, O] f32
-    (w_scale·a_pw, bias)."""
-    i = pl.program_id(0)
-    t = pl.program_id(1)
-    dma = pltpu.make_async_copy(
-        x_hbm.at[i, pl.ds(t * th, th + 2)], x_t, sem)
-    dma.start()
-    dma.wait()
+    """One (image, row-tile) step.
 
-    xi = x_t[...].astype(jnp.int32)  # [TH+2, W+2, C]
+    x_top/x_mid/x_bot: [1, TH, W+2, C] int8 — rows r-1 / r / r+1 of the
+    padded input for each output row r of this tile. dwsc_ref: [2, C] f32
+    (w_scale·s_in, bias); pwsc_ref: [2, O] f32 (w_scale·a_pw, bias).
+    out block: [1, TH, W, O].
+    """
+    rows = (x_top, x_mid, x_bot)
     acc = jnp.zeros((th, w, c), jnp.int32)
     for di in range(3):
+        xi = rows[di][0].astype(jnp.int32)  # [TH, W+2, C]
         for dj in range(3):
             tap = kdw_ref[di * 3 + dj, :].astype(jnp.int32)  # [C]
-            acc = acc + xi[di:di + th, dj:dj + w, :] * tap
+            acc = acc + xi[:, dj:dj + w, :] * tap
 
     y = acc.astype(jnp.float32) * dwsc_ref[0, :] + dwsc_ref[1, :]
     y = jnp.clip(y, 0.0, 6.0)  # relu6
@@ -107,7 +107,11 @@ def fused_ds_block(x_q, kdw_q, dw_scale_bias, wpw_q, pw_scale_bias,
     """
     b, h, w, c = x_q.shape
     o = wpw_q.shape[-1]
+    # zero ring + three row-shifted views (see module docstring)
     x_pad = jnp.pad(x_q, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    x_top = x_pad[:, 0:h]
+    x_mid = x_pad[:, 1:h + 1]
+    x_bot = x_pad[:, 2:h + 2]
 
     th = int(tile_h) if tile_h else _pick_tile(h, w, c)
     n_tiles = h // th
@@ -118,11 +122,13 @@ def fused_ds_block(x_q, kdw_q, dw_scale_bias, wpw_q, pw_scale_bias,
         inv_a_pw=float(1.0 / a_pw),
         inv_s_out=float(1.0 / s_out) if s_out else 0.0)
 
+    row_spec = pl.BlockSpec((1, th, w + 2, c), lambda i, t: (i, t, 0, 0),
+                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # stays in HBM; DMA'd
+            row_spec, row_spec, row_spec,
             pl.BlockSpec((9, c), lambda i, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, c), lambda i, t: (0, 0),
@@ -135,12 +141,8 @@ def fused_ds_block(x_q, kdw_q, dw_scale_bias, wpw_q, pw_scale_bias,
         out_specs=pl.BlockSpec((1, th, w, o), lambda i, t: (i, t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, o), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((th + 2, w + 2, c), jnp.int8),
-            pltpu.SemaphoreType.DMA(()),
-        ],
         interpret=interpret,
-    )(x_pad, kdw_q, dw_scale_bias, wpw_q, pw_scale_bias)
+    )(x_top, x_mid, x_bot, kdw_q, dw_scale_bias, wpw_q, pw_scale_bias)
 
 
 def pack_ds_pair(dw_layer, pw_layer, s_in: float):

@@ -26,14 +26,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _make_coco_copy(out_dir, count, seed, num_classes):
-    """Dense synthetic set → on-disk COCO dataset → CocoDataset."""
+    """Dense synthetic set → on-disk COCO dataset → CocoDataset. Reuses an
+    existing materialization (same seed ⇒ same data) when present."""
+    import json as _json
+
     from mask_yolo_tpu.data.coco import CocoDataset, dataset_to_coco_json
     from mask_yolo_tpu.data.dense_shapes import DenseShapesDataset
 
-    src = DenseShapesDataset()
-    src.load_dense(count, 416, 416, seed=seed, num_classes=num_classes)
-    src.prepare()
-    ann = dataset_to_coco_json(src, out_dir)
+    ann = os.path.join(out_dir, "instances.json")
+    reuse = False
+    if os.path.exists(ann):
+        with open(ann) as f:
+            meta = _json.load(f)
+        reuse = len(meta.get("images", [])) == count
+    if not reuse:
+        src = DenseShapesDataset()
+        src.load_dense(count, 416, 416, seed=seed, num_classes=num_classes)
+        src.prepare()
+        ann = dataset_to_coco_json(src, out_dir)
     d = CocoDataset()
     d.load_coco(ann, os.path.join(out_dir, "images"))
     d.prepare()
