@@ -117,6 +117,11 @@ class Config:
     # the mask branch cost is linear in this value (docs/PERFORMANCE.md).
     MASK_TOP_K = 0
 
+    # infer_yolo: run the per-class NMS on only the N highest-max-prob boxes
+    # (output-identical while ≤ N boxes pass OBJ_THRESHOLD; 0 = full grid).
+    # Set on large-grid configs where grid_boxes ≫ plausible detections.
+    INFER_YOLO_TOP_N = 0
+
     # Keep only the newest N per-epoch checkpoints (0 = keep all, the
     # reference's ModelCheckpoint behavior — model.py:1026)
     MAX_CHECKPOINTS = 5
@@ -222,6 +227,7 @@ class Config:
             float(self.DETECTION_NMS_THRESHOLD),
             int(getattr(self, "MASK_TOP_K", 0) or 0),
             int(getattr(self, "MASK_TRAIN_TOP_ROIS", 0) or 0),
+            int(getattr(self, "INFER_YOLO_TOP_N", 0) or 0),
         )
 
     def display(self):
@@ -270,3 +276,6 @@ class CocoStyleConfig(Config):
     COMPUTE_DTYPE = "bfloat16"
     USE_MINI_MASK = True
     MASK_TRAIN_TOP_ROIS = 128
+    # 13·13·5 = 845 grid boxes; per-class NMS on the top 256 by max prob
+    # (identical while ≤ 256 boxes pass threshold; single unrolled NMS pass)
+    INFER_YOLO_TOP_N = 256

@@ -204,13 +204,27 @@ def infer_yolo_outputs(net, variables, images, config):
     b = grid.shape[0]
     conf = jax.nn.sigmoid(grid[..., 4])
 
+    # INFER_YOLO_TOP_N: run the per-class NMS only on the N boxes with the
+    # highest max-class probability. Boxes below OBJ_THRESHOLD carry
+    # all-zero probs (they can neither suppress nor survive), so this is
+    # output-identical whenever ≤ N boxes pass the threshold — essentially
+    # always at N=256 — while cutting the NMS from the 845-box blocked path
+    # to one ≤512-box unrolled pass (the 416² infer_yolo cost driver,
+    # docs/PERFORMANCE.md). 0 = off (full-grid NMS).
+    n_top = int(getattr(config, "INFER_YOLO_TOP_N", 0) or 0)
+
     def per_image(g, bx, cf):
         # conf-weighted class probabilities, thresholded
         # (myolo_utils.py:42-44, incl. the reference's quirky softmax)
         probs = cf[..., None] * reference_softmax(g[..., 5:])
         probs = probs * (probs > config.OBJ_THRESHOLD)
         probs = probs.reshape(-1, config.NUM_CLASSES)
-        probs = class_aware_nms(bx, probs, config.NMS_THRESHOLD)
+        if n_top and n_top < probs.shape[0]:
+            _, idx = jax.lax.top_k(jnp.max(probs, axis=-1), n_top)
+            kept = class_aware_nms(bx[idx], probs[idx], config.NMS_THRESHOLD)
+            probs = jnp.zeros_like(probs).at[idx].set(kept)
+        else:
+            probs = class_aware_nms(bx, probs, config.NMS_THRESHOLD)
         score = jnp.max(probs, axis=-1)
         label = jnp.argmax(probs, axis=-1).astype(jnp.int32)
         return score, label

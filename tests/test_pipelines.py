@@ -327,3 +327,52 @@ def test_mask_train_top_rois_loss_identical(tiny_net_and_vars, rng):
     np.testing.assert_allclose(float(l_all), float(l_sel), rtol=1e-6)
     np.testing.assert_allclose(float(m_all["myolo_mask_loss"]),
                                float(m_sel["myolo_mask_loss"]), rtol=1e-6)
+
+
+def test_infer_yolo_top_n_equivalence(rng):
+    """INFER_YOLO_TOP_N pre-selection is output-identical to the full-grid
+    per-class NMS while <= N boxes pass OBJ_THRESHOLD (the documented
+    condition; CocoStyleConfig sets N=256 on its 845-box grid)."""
+    import jax.numpy as jnp
+
+    from conftest import TinyConfig
+    from mask_yolo_tpu.models.network import MaskYoloNet
+    from mask_yolo_tpu.pipelines import infer_yolo_outputs
+
+    class BigGrid(TinyConfig):
+        NUM_CLASSES = 4
+        LABELS = ["background", "a", "b", "c"]
+        IMAGE_SHAPE = [128, 128, 3]
+        IMAGE_MIN_DIM = 128
+        IMAGE_MAX_DIM = 128
+        GRID_H, GRID_W = 4, 4
+        N_BOX = 2
+        ANCHORS = [0.6, 0.7, 1.2, 1.1]
+        TRAIN_ROIS_PER_IMAGE = 4 * 4 * 2
+        INFER_YOLO_TOP_N = 0
+
+    class BigGridTopN(BigGrid):
+        INFER_YOLO_TOP_N = 8  # < 32 grid boxes -> pre-selection active
+
+    cfg_full, cfg_topn = BigGrid(), BigGridTopN()
+    net = MaskYoloNet(num_classes=cfg_full.NUM_CLASSES, n_box=cfg_full.N_BOX,
+                      top_feature_map_depth=cfg_full.TOP_FEATURE_MAP_DEPTH,
+                      mask_pool_size=cfg_full.MASK_POOL_SIZE,
+                      backbone=cfg_full.BACKBONE)
+    import jax
+    variables = net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 128, 128, 3), jnp.float32),
+                         jnp.zeros((1, 4, 4), jnp.float32), train=False)
+    images = jnp.asarray(rng.rand(2, 128, 128, 3).astype(np.float32))
+    # untrained net: typically few boxes pass 0.35 threshold -> condition
+    # holds; assert it does, then compare outputs exactly
+    full = {k: np.asarray(v) for k, v in
+            infer_yolo_outputs(net, variables, images, cfg_full).items()}
+    active = (full["scores"] > 0).sum(axis=1)
+    assert (active <= 8).all(), f"fixture violates <=N condition: {active}"
+    topn = {k: np.asarray(v) for k, v in
+            infer_yolo_outputs(net, variables, images, cfg_topn).items()}
+    np.testing.assert_allclose(topn["scores"], full["scores"], atol=1e-7)
+    np.testing.assert_array_equal(topn["valid"], full["valid"])
+    keep = full["valid"]
+    np.testing.assert_array_equal(topn["classes"][keep], full["classes"][keep])
