@@ -66,6 +66,9 @@ def main():
     ap.add_argument("--mask-top-k", type=int, default=None,
                     help="override CocoStyleConfig.MASK_TOP_K for eval")
     ap.add_argument("--skip-int8", action="store_true")
+    ap.add_argument("--resume-from", default=None,
+                    help="checkpoint dir from a previous run's ckpt/ — "
+                         "continues training to --epochs total")
     args = ap.parse_args()
 
     from mask_yolo_tpu import MaskYOLO, evaluate_dataset
@@ -97,7 +100,7 @@ def main():
                      model_dir=os.path.join(args.out, "ckpt"), seed=args.seed)
     t0 = time.perf_counter()
     model.train(train_ds, val_ds, learning_rate=args.lr, epochs=args.epochs,
-                layers="all")
+                layers="all", resume_from=args.resume_from)
     train_s = time.perf_counter() - t0
     weights = os.path.join(args.out, "weights")
     model.save_weights(weights)
