@@ -171,7 +171,10 @@ def _mask_kernel(box_ref, cls_ref, fmap_ref,
             probs[ki * p2:(ki + 1) * p2, :], onehot4,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                  # [P², 4]
-        out_ref[0, ki] = sel
+        # stored bf16: halves the output block (the whole [B, K, P², 4]
+        # result was the VMEM-OOM term at K=32 batch 128); sigmoid probs
+        # feeding a 0.5 threshold lose nothing observable at bf16
+        out_ref[0, ki] = sel.astype(out_ref.dtype)
 
 
 def pack_mask_weights(graph, num_classes: int):
@@ -220,10 +223,11 @@ def pack_mask_weights(graph, num_classes: int):
 
 
 @functools.partial(jax.jit, static_argnames=("pool", "num_classes",
-                                              "interpret", "k_block"))
+                                              "interpret", "k_block",
+                                              "store_bf16"))
 def fused_mask_branch(fmap, boxes, classes, weights, pool: int = 14,
                       num_classes: int = 2, interpret: bool = False,
-                      k_block: int = 16):
+                      k_block: int = 16, store_bf16: bool = True):
     """Fused per-ROI mask branch.
 
     fmap: [B, H, W, Cf] float (neck output); boxes: [B, K, 4] normalized
@@ -289,13 +293,15 @@ def fused_mask_branch(fmap, boxes, classes, weights, pool: int = 14,
         out_specs=pl.BlockSpec((1, kb, pool * pool, 4),
                                lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, kp, pool * pool, 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, kp, pool * pool, 4),
+            jnp.bfloat16 if store_bf16 else jnp.float32),
         interpret=interpret,
     )(boxes, classes.astype(jnp.int32)[..., None], fmap.astype(jnp.bfloat16),
       weights["w1"], weights["w2"], weights["w3"], weights["w4"],
       weights["wd"], weights["wo"], weights["wsc"], weights["bias"],
       weights["asc"])
-    sel4 = sel4[:, :k]
+    sel4 = sel4[:, :k].astype(jnp.float32)
     # depth-to-space on the tiny [B, K, P², 4] result (XLA, outside kernel)
     m = sel4.reshape(b, k, pool, pool, 2, 2).transpose(0, 1, 2, 4, 3, 5)
     return m.reshape(b, k, side, side)
