@@ -135,6 +135,13 @@ class Config:
     # measured 131 → 111 µs/img on the 416² backbone but SLOWER at 224²).
     QUANT_DW_INT8 = None
 
+    # int8-PTQ activation calibration statistic: 100 = absmax (default);
+    # < 100 clips to that percentile of |activations|. Measured at the
+    # 81-class point: clipping HURTS (99.9% halved AP — the extreme
+    # activations carry the detector's signal; docs/PERFORMANCE.md), so
+    # absmax stays the default.
+    QUANT_CALIB_PCT = 100.0
+
     # int8-PTQ path: run stride-1 depthwise-separable blocks as ONE fused
     # Pallas kernel (DW intermediate stays in VMEM, ops/pallas_ds.py).
     # Requires QUANT_DW_INT8; see docs/PERFORMANCE.md for measurements.

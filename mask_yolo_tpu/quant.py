@@ -226,13 +226,23 @@ def _depth_to_space2(y):
     return y.reshape(b, 2 * h, 2 * w, o)
 
 
-def run_layer_f32(layer: Layer, x, collect=None):
+def run_layer_f32(layer: Layer, x, collect=None, calib_pct: float = 100.0):
     """Reference f32 execution of one folded layer (also calibration probe:
-    appends (name, absmax(x)) to `collect` — every layer's input range is
+    appends (name, range(x)) to `collect` — every layer's input range is
     needed because chained int8 execution re-quantizes each layer's output
-    to its successor's input scale)."""
+    to its successor's input scale).
+
+    calib_pct: activation-range statistic. 100 = absmax (the default);
+    < 100 = that percentile of |x|, clipping rare outliers. Measured at the
+    81-class point: clipping HURTS (99.9% halves AP — the extreme
+    activations are signal, not noise; docs/PERFORMANCE.md), so absmax
+    stays the default; the knob is kept for datasets where it wins."""
     if collect is not None:
-        collect.append((layer.name, jnp.max(jnp.abs(x))))
+        ax = jnp.abs(x)
+        stat = (jnp.max(ax) if calib_pct >= 100.0
+                else jnp.quantile(ax.astype(jnp.float32).ravel(),
+                                  calib_pct / 100.0))
+        collect.append((layer.name, stat))
     k = jnp.asarray(layer.kernel)
     if layer.kind == "deconv":
         y = _deconv(x, k, layer.strides)
@@ -304,10 +314,10 @@ def _fusable_ds_pair(layer, nxt, x_scale):
 
 
 def run_layers(layers, x, quant: bool, collect=None, fused_ds: bool = False,
-               interpret: bool = False):
+               interpret: bool = False, calib_pct: float = 100.0):
     if not quant:
         for layer in layers:
-            x = run_layer_f32(layer, x, collect)
+            x = run_layer_f32(layer, x, collect, calib_pct)
         return x
     scale = None
     i = 0
@@ -351,17 +361,21 @@ def run_layers(layers, x, quant: bool, collect=None, fused_ds: bool = False,
 
 
 def _trunk_outputs(graph, images, quant: bool, collect=None,
-                   fused_ds: bool = False, interpret: bool = False):
+                   fused_ds: bool = False, interpret: bool = False,
+                   calib_pct: float = 100.0):
     c4 = run_layers(graph["trunk"], images, quant, collect,
-                    fused_ds=fused_ds, interpret=interpret)
-    fmap = run_layers(graph["neck"], c4, quant, collect)
+                    fused_ds=fused_ds, interpret=interpret,
+                    calib_pct=calib_pct)
+    fmap = run_layers(graph["neck"], c4, quant, collect, calib_pct=calib_pct)
     raw = run_layers(graph["yolo"], c4, quant, collect,
-                     fused_ds=fused_ds, interpret=interpret)
+                     fused_ds=fused_ds, interpret=interpret,
+                     calib_pct=calib_pct)
     return raw, fmap
 
 
 def _mask_outputs(graph, rois, fmap, pool_size: int, num_classes: int,
-                  quant: bool, collect=None, image_hw=(224, 224)):
+                  quant: bool, collect=None, image_hw=(224, 224),
+                  calib_pct: float = 100.0):
     b, r = rois.shape[:2]
     # quant path crops in bf16: halves the [B,K,14,28,C] contraction
     # intermediates' HBM traffic; calibration/parity path stays f32
@@ -378,7 +392,7 @@ def _mask_outputs(graph, rois, fmap, pool_size: int, num_classes: int,
         x = crop_and_resize(fmap, rois, (pool_size, pool_size), dtype=dt)
     x = x.astype(jnp.float32)
     x = x.reshape(b * r, pool_size, pool_size, x.shape[-1])
-    x = run_layers(graph["mask"], x, quant, collect)
+    x = run_layers(graph["mask"], x, quant, collect, calib_pct=calib_pct)
     side = 2 * pool_size
     return x.reshape(b, r, side, side, num_classes)
 
@@ -397,19 +411,22 @@ def calibrate(graph, config, images, rois=None, flax_trunk=None):
         rois = np.tile(base[None], (images.shape[0], 1, 1))
 
     hw = tuple(config.IMAGE_SHAPE[:2])
+    # activation-range statistic: 100 = absmax (default; percentile clipping
+    # measured WORSE at the 81-class point — see run_layer_f32 docstring)
+    pct = float(getattr(config, "QUANT_CALIB_PCT", 100.0) or 100.0)
 
     @jax.jit
     def probe(images, rois):
         collect = []
         if graph["trunk"] is not None:
             raw, fmap = _trunk_outputs(graph, images, quant=False,
-                                       collect=collect)
+                                       collect=collect, calib_pct=pct)
         else:
             # hybrid mode: the flax trunk supplies the feature map(s)
             fmap = flax_trunk(images)[1]
         _mask_outputs(graph, rois, fmap, config.MASK_POOL_SIZE,
                       config.NUM_CLASSES, quant=False, collect=collect,
-                      image_hw=hw)
+                      image_hw=hw, calib_pct=pct)
         return {name: v for name, v in collect}
 
     absmax = jax.device_get(probe(jnp.asarray(images), jnp.asarray(rois)))

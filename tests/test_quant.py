@@ -199,3 +199,48 @@ def test_hybrid_quantization_resnet_fpn(rng):
     with _pytest.raises(ValueError, match="hybrid"):
         QuantizedDetector.from_variables(jax.device_get(variables), cfg,
                                          images)
+
+
+def test_calib_percentile_clips_outliers(rng):
+    """QUANT_CALIB_PCT < 100 must yield smaller activation scales than
+    absmax when the input has rare outliers, and identical when it has
+    none (constant-magnitude input)."""
+    from conftest import TinyConfig
+
+    import jax
+    import jax.numpy as jnp
+
+    from mask_yolo_tpu import quant
+    from mask_yolo_tpu.models.network import MaskYoloNet
+
+    class Cfg(TinyConfig):
+        NUM_CLASSES = 4
+        LABELS = ["background", "a", "b", "c"]
+        QUANT_CALIB_PCT = 99.0
+
+    cfg_pct = Cfg()
+
+    class CfgAbs(Cfg):
+        QUANT_CALIB_PCT = 100.0
+
+    cfg_abs = CfgAbs()
+    net = MaskYoloNet(num_classes=cfg_pct.NUM_CLASSES, n_box=cfg_pct.N_BOX,
+                      top_feature_map_depth=cfg_pct.TOP_FEATURE_MAP_DEPTH,
+                      mask_pool_size=cfg_pct.MASK_POOL_SIZE,
+                      backbone=cfg_pct.BACKBONE)
+    variables = jax.device_get(net.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32),
+        jnp.zeros((1, 4, 4), jnp.float32), train=False))
+    # images with a single huge outlier pixel
+    images = rng.rand(2, 64, 64, 3).astype(np.float32) * 0.1
+    images[0, 0, 0, 0] = 1.0
+
+    g_abs = quant.calibrate(quant.build_layer_graph(variables, cfg_abs),
+                            cfg_abs, images)
+    g_pct = quant.calibrate(quant.build_layer_graph(variables, cfg_pct),
+                            cfg_pct, images)
+    s_abs = g_abs["trunk"][0].a_scale
+    s_pct = g_pct["trunk"][0].a_scale
+    assert s_pct < s_abs  # the outlier got clipped
+    # absmax path unchanged by the plumbing
+    assert s_abs == pytest.approx(1.0 / 127.0, rel=1e-5)

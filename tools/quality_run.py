@@ -111,7 +111,8 @@ def main():
     calib = np.stack([
         load_image_gt(eval_ds, config, i)[0].astype(np.float32) / 255.0
         for i in list(eval_ds.image_ids)[:8]])
-    qdet = QuantizedDetector.from_variables(infer.variables, config, calib)
+    qdet = QuantizedDetector.from_variables(infer.variables, config, calib,
+                                            net=infer.net)
 
     class _QuantAdapter:
         def detect_batch(self, images):
