@@ -147,6 +147,22 @@ class Config:
     # Requires QUANT_DW_INT8; see docs/PERFORMANCE.md for measurements.
     QUANT_FUSED_DS = False
 
+    # int8-PTQ: per-INPUT-channel activation scales. Each quantized conv's
+    # input is quantized with one scale per channel (calibrated per-channel
+    # absmax); the scales fold into the already-per-output-channel weight
+    # quantization, so the int8 matmul itself is unchanged — only the
+    # cheap elementwise (re)quantize becomes a per-channel multiply.
+    # Recovers resolution lost to cross-channel range imbalance without
+    # clipping anything (vs QUANT_CALIB_PCT, which measured WORSE here).
+    QUANT_PER_CHANNEL_ACT = False
+
+    # int8-PTQ: per-output-channel bias correction (Nagel et al. 2019,
+    # "Data-Free Quantization..."): after weight quantization, the expected
+    # pre-activation error E[conv_f32(x) - deq(conv_int8(quant(x)))] over
+    # the calibration batch is folded into each quantized layer's bias on
+    # the int8 path only (f32 parity paths are untouched).
+    QUANT_BIAS_CORRECT = False
+
     # Host data-loading workers for data_generator (0 = load in the calling
     # thread). The reference computed cpu_count() but left Keras
     # multiprocessing disabled (model.py:1045, 1057-1058). DATA_WORKER_MODE:

@@ -210,6 +210,11 @@ def pack_mask_weights(graph, num_classes: int):
     bias[5, : 4 * num_classes] = out.bias
 
     asc = np.zeros((1, 8), np.float32)
+    if any(isinstance(l.a_scale, np.ndarray)
+           for l in (*convs, deconv, out)):
+        raise NotImplementedError(
+            "fused Pallas mask kernel supports per-tensor activation scales "
+            "only; disable QUANT_PER_CHANNEL_ACT or use_pallas")
     for i, l in enumerate(convs):
         asc[0, i] = l.a_scale
     asc[0, 4] = deconv.a_scale

@@ -77,7 +77,22 @@ class Layer:
     # filled by quantize_graph():
     w_q: Any = None       # int8 kernel
     w_scale: Any = None   # f32 [O]
-    a_scale: float = 0.0  # f32 input activation scale
+    # input activation scale: f32 scalar, or f32 [C_in] vector when
+    # QUANT_PER_CHANNEL_ACT calibrated per-channel scales
+    a_scale: Any = 0.0
+    # vector a_scale is folded into w_q (per input channel), so the int8
+    # dequant factor is w_scale alone
+    act_folded: bool = False
+    # per-output-channel bias correction applied on the int8 path only
+    # (QUANT_BIAS_CORRECT; f32/bf16 parity paths keep the exact flax bias)
+    bias_corr: Any = None
+
+
+def _scale_ok(s) -> bool:
+    """Usable activation scale? (positive scalar, or all-positive vector)"""
+    if isinstance(s, np.ndarray):
+        return bool(s.size) and bool(np.all(s > 0))
+    return bool(s and s > 0.0)
 
 
 def _ds_block(params, stats, name, strides, dw_int8: bool = False):
@@ -239,7 +254,11 @@ def run_layer_f32(layer: Layer, x, collect=None, calib_pct: float = 100.0):
     stays the default; the knob is kept for datasets where it wins."""
     if collect is not None:
         ax = jnp.abs(x)
-        stat = (jnp.max(ax) if calib_pct >= 100.0
+        # absmax collects the per-channel vector; calibrate() reduces it to
+        # a scalar unless QUANT_PER_CHANNEL_ACT keeps it. Percentile mode
+        # stays a whole-tensor scalar statistic.
+        stat = (jnp.max(ax, axis=tuple(range(ax.ndim - 1)))
+                if calib_pct >= 100.0
                 else jnp.quantile(ax.astype(jnp.float32).ravel(),
                                   calib_pct / 100.0))
         collect.append((layer.name, stat))
@@ -256,8 +275,9 @@ def run_layer_f32(layer: Layer, x, collect=None, calib_pct: float = 100.0):
 
 
 def _quantize_act(x, scale):
-    return jnp.clip(jnp.round(x * jnp.float32(1.0 / scale)),
-                    -127, 127).astype(jnp.int8)
+    # scale: scalar, or per-channel vector broadcast over the last axis
+    inv = jnp.asarray(np.float32(1.0) / np.asarray(scale, np.float32))
+    return jnp.clip(jnp.round(x * inv), -127, 127).astype(jnp.int8)
 
 
 def run_layer_int8(layer: Layer, x, x_scale=None, out_scale=None):
@@ -270,23 +290,31 @@ def run_layer_int8(layer: Layer, x, x_scale=None, out_scale=None):
     the epilogue math (dequant→bias→act→requant) fused into the conv by XLA.
     Returns (y, y_scale): int8+scale if out_scale, else f32+None.
     """
-    if layer.quantize and layer.w_q is not None and layer.a_scale > 0.0:
+    if layer.quantize and layer.w_q is not None and _scale_ok(layer.a_scale):
         if x_scale is None:
             x_q = _quantize_act(x, layer.a_scale)
-            s_in = layer.a_scale
         else:
-            x_q, s_in = x, x_scale
+            x_q = x
+        # vector a_scale is already folded into w_q (act_folded) — chained
+        # int8 inputs are always quantized at exactly this layer's a_scale,
+        # so the fold is valid for both entry paths
+        s_in = 1.0 if layer.act_folded else (
+            layer.a_scale if x_scale is None else x_scale)
         y = jax.lax.conv_general_dilated(
             x_q, jnp.asarray(layer.w_q), layer.strides, "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=layer.groups,
             preferred_element_type=jnp.int32)
+        bias = jnp.asarray(layer.bias)
+        if layer.bias_corr is not None:
+            bias = bias + jnp.asarray(layer.bias_corr)
         y = y.astype(jnp.float32) * (jnp.asarray(layer.w_scale)
-                                     * jnp.float32(s_in)) + jnp.asarray(layer.bias)
+                                     * jnp.float32(s_in)) + bias
     else:
         # bf16 compute (depthwise / deconv / final sigmoid conv)
-        xb = (x.astype(jnp.float32) * jnp.float32(x_scale) if x_scale is not None
-              else x).astype(jnp.bfloat16)
+        xb = (x.astype(jnp.float32)
+              * jnp.asarray(np.asarray(x_scale, np.float32))
+              if x_scale is not None else x).astype(jnp.bfloat16)
         k = jnp.asarray(layer.kernel, jnp.bfloat16)
         if layer.kind == "deconv":
             y = _deconv(xb, k, layer.strides)
@@ -296,7 +324,7 @@ def run_layer_int8(layer: Layer, x, x_scale=None, out_scale=None):
     y = _ACTS[layer.act](y)
     if layer.kind == "out_d2s":
         y = _depth_to_space2(y)
-    if out_scale:
+    if out_scale is not None:
         return _quantize_act(y, out_scale), out_scale
     return y, None
 
@@ -308,9 +336,10 @@ def _fusable_ds_pair(layer, nxt, x_scale):
     return (layer.kind == "dw" and layer.strides == (1, 1)
             and layer.quantize and layer.w_q is not None
             and layer.act == "relu6" and x_scale is not None
+            and not isinstance(x_scale, np.ndarray)
             and nxt is not None and nxt.kind == "conv"
-            and nxt.w_q is not None and nxt.a_scale > 0.0
-            and nxt.act == "relu6")
+            and nxt.w_q is not None and isinstance(nxt.a_scale, float)
+            and nxt.a_scale > 0.0 and nxt.act == "relu6")
 
 
 def run_layers(layers, x, quant: bool, collect=None, fused_ds: bool = False,
@@ -336,6 +365,7 @@ def run_layers(layers, x, quant: bool, collect=None, fused_ds: bool = False,
             kdw, dwsb, wpw, pwsb = packed[1]
             nxt2 = layers[i + 2] if i + 2 < len(layers) else None
             out_scale = (nxt2.a_scale if nxt2 is not None
+                         and isinstance(nxt2.a_scale, float)
                          and nxt2.a_scale > 0.0 else 0.0)
             x = fused_ds_block(x, jnp.asarray(kdw), jnp.asarray(dwsb),
                                jnp.asarray(wpw), jnp.asarray(pwsb),
@@ -347,7 +377,7 @@ def run_layers(layers, x, quant: bool, collect=None, fused_ds: bool = False,
         # inter-layer tensors stay int8 in HBM whenever the next layer has a
         # calibrated input scale — even between bf16 layers, int8 storage is
         # the 4× activation-traffic cut (the bf16 layer dequantizes on load)
-        out_scale = (nxt.a_scale if nxt is not None and nxt.a_scale > 0.0
+        out_scale = (nxt.a_scale if nxt is not None and _scale_ok(nxt.a_scale)
                      else None)
         x, scale = run_layer_int8(layer, x, scale, out_scale)
         i += 1
@@ -429,25 +459,146 @@ def calibrate(graph, config, images, rois=None, flax_trunk=None):
                       image_hw=hw, calib_pct=pct)
         return {name: v for name, v in collect}
 
+    # per-channel activation scales (QUANT_PER_CHANNEL_ACT): keep the
+    # per-channel absmax vector instead of reducing it to one scalar.
+    # Only defined for the absmax statistic (percentile mode stays scalar).
+    per_ch = bool(getattr(config, "QUANT_PER_CHANNEL_ACT", False)) \
+        and pct >= 100.0
+
     absmax = jax.device_get(probe(jnp.asarray(images), jnp.asarray(rois)))
     for part in graph.values():
         for layer in part or ():
             if layer.name in absmax:
-                layer.a_scale = float(absmax[layer.name]) / 127.0 or 1.0
+                v = np.asarray(absmax[layer.name], np.float32)
+                if per_ch and v.ndim == 1:
+                    if layer.quantize:
+                        # SmoothQuant-style split (Xiao et al. 2022): folding
+                        # the FULL per-channel act range into the kernel just
+                        # moves the imbalance into the weight grid (the
+                        # per-output-channel weight scales can't compensate
+                        # input-channel variation — measured 16x WORSE than
+                        # per-tensor). Migrate only r_c = a_c^α / w_c^(1-α)
+                        # (α=0.5 splits the burden evenly); the remaining
+                        # uniform factor distorts nothing.
+                        k = np.abs(np.asarray(layer.kernel, np.float32))
+                        ax = k.ndim - 1 if layer.kind == "dw" else k.ndim - 2
+                        w_c = np.moveaxis(k, ax, 0).reshape(
+                            k.shape[ax], -1).max(axis=1)
+                        a_c = np.maximum(v, 1e-12)
+                        w_c = np.maximum(w_c, 1e-12)
+                        alpha = float(getattr(config, "QUANT_SMOOTH_ALPHA",
+                                              0.5))
+                        r = a_c ** alpha / w_c ** (1.0 - alpha)
+                        s = r * (float(np.max(a_c / r)) / 127.0)
+                    else:
+                        # bf16/storage-only layers have no weight grid to
+                        # protect: exact per-channel absmax is strictly best
+                        s = v / 127.0
+                    # dead channels (absmax 0) quantize exactly at ANY scale,
+                    # but a large fallback (e.g. 1.0) would dominate the
+                    # folded kernel's per-output-channel absmax and crush
+                    # the live channels' weight resolution — fill with the
+                    # median live scale instead (measured 70x weight-error
+                    # difference on a random-init trunk with dead relu6
+                    # channels)
+                    pos = s[v > 0]
+                    fill = float(np.median(pos)) if pos.size else 1.0
+                    layer.a_scale = np.where(v > 0, s,
+                                             fill).astype(np.float32)
+                else:
+                    layer.a_scale = float(v.max()) / 127.0 or 1.0
     return graph
 
 
 def quantize_weights(graph):
-    """Symmetric per-output-channel int8 weights for quantizable layers."""
+    """Symmetric per-output-channel int8 weights for quantizable layers.
+
+    Per-channel activation scales (vector a_scale) fold into the kernel
+    before weight quantization: y = Σ_ci W[..,ci,co]·(x_q[..,ci]·s_ci)
+    = Σ_ci (W·s_ci)[..,ci,co]·x_q[..,ci], so the int8 matmul and its
+    per-output-channel dequant are unchanged — s_in becomes exactly 1.
+    """
     for part in graph.values():
         for layer in part or ():
             if not layer.quantize:
                 continue
             k = np.asarray(layer.kernel, np.float32)
+            if isinstance(layer.a_scale, np.ndarray):
+                if layer.kind == "dw":
+                    # grouped [kh, kw, 1, C]: output channel c reads only
+                    # input channel c → fold along the trailing axis
+                    k = k * layer.a_scale.reshape(1, 1, 1, -1)
+                else:
+                    k = k * layer.a_scale.reshape(1, 1, -1, 1)
+                layer.act_folded = True
             absmax = np.abs(k).reshape(-1, k.shape[-1]).max(axis=0)
             scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
             layer.w_q = np.clip(np.round(k / scale), -127, 127).astype(np.int8)
             layer.w_scale = scale
+    return graph
+
+
+def bias_correct(graph, config, images, rois=None, flax_trunk=None):
+    """Per-output-channel bias correction (Nagel et al. 2019, §5 of
+    "Data-Free Quantization Through Weight Equalization and Bias
+    Correction"). Must run AFTER quantize_weights.
+
+    For every quantized layer, the expected pre-activation quantization
+    error E[conv_f32(x) + b  −  (deq(conv_int8(quant(x))) + b)] is measured
+    over the calibration batch, with x taken from the exact f32 forward
+    (errors are corrected layer-by-layer, not compounded). The per-channel
+    mean lands in layer.bias_corr, which run_layer_int8 adds on the int8
+    path only — run_layer_f32 keeps bit parity with the flax forward.
+    """
+    if rois is None:
+        base = np.asarray([[0.0, 0.0, 1.0, 1.0], [0.1, 0.1, 0.6, 0.6],
+                           [0.4, 0.4, 0.9, 0.9], [0.25, 0.25, 0.75, 0.75]],
+                          np.float32)
+        rois = np.tile(base[None], (images.shape[0], 1, 1))
+
+    def correct_chain(layers, x):
+        for layer in layers:
+            if (layer.quantize and layer.w_q is not None
+                    and _scale_ok(layer.a_scale)):
+                y_f = _conv(x, jnp.asarray(layer.kernel), layer.strides,
+                            layer.groups)
+                x_q = _quantize_act(x, layer.a_scale)
+                s_in = 1.0 if layer.act_folded else layer.a_scale
+                y_q = jax.lax.conv_general_dilated(
+                    x_q, jnp.asarray(layer.w_q), layer.strides, "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=layer.groups,
+                    preferred_element_type=jnp.int32)
+                y_q = y_q.astype(jnp.float32) * (jnp.asarray(layer.w_scale)
+                                                 * jnp.float32(s_in))
+                delta = jnp.mean((y_f - y_q).astype(jnp.float32),
+                                 axis=(0, 1, 2))
+                layer.bias_corr = np.asarray(jax.device_get(delta),
+                                             np.float32)
+            x = run_layer_f32(layer, x)
+        return x
+
+    images = jnp.asarray(images)
+    if graph["trunk"] is not None:
+        c4 = correct_chain(graph["trunk"], images)
+        fmap = correct_chain(graph["neck"], c4)
+        correct_chain(graph["yolo"], c4)
+    else:
+        fmap = flax_trunk(images)[1]
+
+    pool = config.MASK_POOL_SIZE
+    rois = jnp.asarray(rois)
+    b, r = rois.shape[:2]
+    if isinstance(fmap, (tuple, list)):
+        from .ops.roi_align import multilevel_crop_and_resize
+
+        x = multilevel_crop_and_resize(tuple(fmap), rois, (pool, pool),
+                                       image_hw=tuple(config.IMAGE_SHAPE[:2]),
+                                       canonical_level=1)
+    else:
+        x = crop_and_resize(fmap, rois, (pool, pool), dtype=jnp.float32)
+    x = x.astype(jnp.float32).reshape(b * r, pool, pool, x.shape[-1])
+    correct_chain(graph["mask"], x)
     return graph
 
 
@@ -492,6 +643,9 @@ class QuantizedDetector:
                                  train=False, method=net.pick_trunk())
         graph = calibrate(graph, config, calib_images, flax_trunk=flax_trunk)
         graph = quantize_weights(graph)
+        if bool(getattr(config, "QUANT_BIAS_CORRECT", False)):
+            graph = bias_correct(graph, config, calib_images,
+                                 flax_trunk=flax_trunk)
         return cls(graph, config, flax_trunk=flax_trunk)
 
     def trunk(self, images, quant: bool = True, fused_ds: bool | None = None,

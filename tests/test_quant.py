@@ -244,3 +244,99 @@ def test_calib_percentile_clips_outliers(rng):
     assert s_pct < s_abs  # the outlier got clipped
     # absmax path unchanged by the plumbing
     assert s_abs == pytest.approx(1.0 / 127.0, rel=1e-5)
+
+
+def test_per_channel_act_scales(setup):
+    """QUANT_PER_CHANNEL_ACT: per-input-channel activation scales fold into
+    the int8 weights; on channel-imbalanced input the quantized trunk tracks
+    f32 at least as well as the per-tensor path, and the e2e contract holds."""
+    cfg, net, variables, images = setup
+
+    class PCCfg(type(cfg)):
+        QUANT_PER_CHANNEL_ACT = True
+
+    # amplify cross-channel range imbalance: one input channel is 50x smaller
+    imb = np.asarray(images).copy()
+    imb[..., 0] *= 0.02
+    det_pt = quant.QuantizedDetector.from_variables(variables, cfg, imb)
+    det_pc = quant.QuantizedDetector.from_variables(variables, PCCfg(), imb)
+
+    first = det_pc.graph["trunk"][0]
+    assert isinstance(first.a_scale, np.ndarray)
+    assert first.a_scale.shape == (3,) and first.act_folded
+    # the small channel got a smaller scale (the SmoothQuant-style α=0.5
+    # split compresses the 50x input imbalance to ~√50 in the act grid)
+    assert first.a_scale[0] < 0.5 * first.a_scale[1:].min()
+
+    x = jnp.asarray(imb)
+    g_f, _ = jax.jit(lambda im: det_pc.trunk(im, quant=False))(x)
+    g_pt, _ = jax.jit(lambda im: det_pt.trunk(im, quant=True))(x)
+    g_pc, _ = jax.jit(lambda im: det_pc.trunk(im, quant=True))(x)
+    err_pt = np.abs(np.asarray(g_pt) - np.asarray(g_f)).mean()
+    err_pc = np.abs(np.asarray(g_pc) - np.asarray(g_f)).mean()
+    assert err_pc <= err_pt * 1.05, (err_pc, err_pt)
+
+    out = det_pc.detect_outputs(x)
+    k = cfg.DETECTION_MAX_INSTANCES
+    assert out["boxes"].shape == (2, k, 4)
+    assert out["masks"].shape == (2, k, *cfg.IMAGE_SHAPE[:2])
+
+
+def test_bias_correction(setup):
+    """QUANT_BIAS_CORRECT: per-channel corrections are computed, zero the
+    expected pre-activation error on the calibration batch, and do NOT touch
+    the f32 parity path."""
+    cfg, net, variables, images = setup
+
+    class BCCfg(type(cfg)):
+        QUANT_BIAS_CORRECT = True
+
+    det = quant.QuantizedDetector.from_variables(variables, cfg,
+                                                 np.asarray(images))
+    det_bc = quant.QuantizedDetector.from_variables(variables, BCCfg(),
+                                                    np.asarray(images))
+    corrected = [l for part in det_bc.graph.values() for l in part
+                 if l.bias_corr is not None]
+    assert corrected
+
+    # direct contract: the mean per-channel pre-activation error of a
+    # corrected layer is ~0 on the calibration batch
+    lay = det_bc.graph["trunk"][0]
+    x = jnp.asarray(images)
+    y_f = quant._conv(x, jnp.asarray(lay.kernel), lay.strides, lay.groups)
+    x_q = quant._quantize_act(x, lay.a_scale)
+    s_in = 1.0 if lay.act_folded else lay.a_scale
+    y_q = jax.lax.conv_general_dilated(
+        x_q, jnp.asarray(lay.w_q), lay.strides, "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=lay.groups,
+        preferred_element_type=jnp.int32
+    ).astype(jnp.float32) * (jnp.asarray(lay.w_scale) * jnp.float32(s_in))
+    resid = np.asarray(y_f - (y_q + lay.bias_corr)).mean(axis=(0, 1, 2))
+    assert np.abs(resid).max() < 1e-5
+
+    # f32 path bit-identical with and without the knob
+    g0, _ = jax.jit(lambda im: det.trunk(im, quant=False))(x)
+    g1, _ = jax.jit(lambda im: det_bc.trunk(im, quant=False))(x)
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+
+    out = det_bc.detect_outputs(x)
+    assert out["boxes"].shape == (2, cfg.DETECTION_MAX_INSTANCES, 4)
+
+
+def test_per_channel_and_bias_correct_compose(setup):
+    """Both knobs together run end to end and keep the int8 trunk within
+    quantization noise of f32."""
+    cfg, net, variables, images = setup
+
+    class BothCfg(type(cfg)):
+        QUANT_PER_CHANNEL_ACT = True
+        QUANT_BIAS_CORRECT = True
+
+    det = quant.QuantizedDetector.from_variables(variables, BothCfg(),
+                                                 np.asarray(images))
+    g_f, _ = jax.jit(lambda im: det.trunk(im, quant=False))(images)
+    g_q, _ = jax.jit(lambda im: det.trunk(im, quant=True))(images)
+    scale = float(np.abs(np.asarray(g_f)).max())
+    err = np.abs(np.asarray(g_q) - np.asarray(g_f)).max()
+    assert err < 0.1 * scale + 0.05, (err, scale)
