@@ -380,10 +380,16 @@ class MaskYOLO:
             self._detect_fn = detect_fn
             self._infer_yolo_fn = infer_yolo_fn
 
-    def quantize(self, calib_images):
+    def quantize(self, calib_images, finetune_steps: int = 0,
+                 finetune_lr: float = 1e-5):
         """Switch this model's detect pipeline to the int8 quantized path
         (post-training quantization; see quant.py). calib_images:
         [N, H, W, 3] float in [0, 1] used for activation-range calibration.
+
+        finetune_steps > 0 additionally runs label-free quantization-aware
+        fine-tuning (QuantizedDetector.finetune): the quantized layers are
+        distilled against the f32 teacher on calib_images with fake-quant in
+        the loop, recovering accuracy PTQ alone loses at many-class points.
 
         New capability vs the float32-only reference; on the TPU MXU the int8
         conv stack runs ~4.5x faster than bfloat16.
@@ -396,6 +402,9 @@ class MaskYOLO:
         qdet = QuantizedDetector.from_variables(
             jax.device_get(self.variables), self.config,
             np.asarray(calib_images), net=self.net)
+        if finetune_steps:
+            qdet.finetune(np.asarray(calib_images), steps=finetune_steps,
+                          lr=finetune_lr)
         self._ensure_infer_fns()
         self._detect_fn = lambda variables, images: qdet.detect_outputs(images)
         self._qdet = qdet

@@ -520,22 +520,27 @@ def quantize_weights(graph):
     """
     for part in graph.values():
         for layer in part or ():
-            if not layer.quantize:
-                continue
-            k = np.asarray(layer.kernel, np.float32)
-            if isinstance(layer.a_scale, np.ndarray):
-                if layer.kind == "dw":
-                    # grouped [kh, kw, 1, C]: output channel c reads only
-                    # input channel c → fold along the trailing axis
-                    k = k * layer.a_scale.reshape(1, 1, 1, -1)
-                else:
-                    k = k * layer.a_scale.reshape(1, 1, -1, 1)
-                layer.act_folded = True
-            absmax = np.abs(k).reshape(-1, k.shape[-1]).max(axis=0)
-            scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
-            layer.w_q = np.clip(np.round(k / scale), -127, 127).astype(np.int8)
-            layer.w_scale = scale
+            if layer.quantize:
+                _quantize_layer_kernel(layer,
+                                       np.asarray(layer.kernel, np.float32))
     return graph
+
+
+def _quantize_layer_kernel(layer, k):
+    """Set layer.w_q/w_scale from the f32 kernel `k` (folding a vector
+    a_scale along the input-channel axis first)."""
+    if isinstance(layer.a_scale, np.ndarray):
+        if layer.kind == "dw":
+            # grouped [kh, kw, 1, C]: output channel c reads only
+            # input channel c → fold along the trailing axis
+            k = k * layer.a_scale.reshape(1, 1, 1, -1)
+        else:
+            k = k * layer.a_scale.reshape(1, 1, -1, 1)
+        layer.act_folded = True
+    absmax = np.abs(k).reshape(-1, k.shape[-1]).max(axis=0)
+    scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+    layer.w_q = np.clip(np.round(k / scale), -127, 127).astype(np.int8)
+    layer.w_scale = scale
 
 
 def bias_correct(graph, config, images, rois=None, flax_trunk=None):
@@ -603,6 +608,58 @@ def bias_correct(graph, config, images, rois=None, flax_trunk=None):
 
 
 # ---------------------------------------------------------------------------
+# Quantization-aware fine-tuning (distillation-based, label-free)
+# ---------------------------------------------------------------------------
+
+
+def _fq(v, s):
+    """Quantize→dequantize at scale `s` with a straight-through gradient
+    (the round/clip is invisible to autodiff; s may be per-channel, and may
+    be a traced value — _fq_kernel recomputes weight scales on the fly)."""
+    s = jnp.asarray(s, jnp.float32)
+    q = jnp.clip(jnp.round(v / s), -127, 127) * s
+    return v + jax.lax.stop_gradient(q - v)
+
+
+def _fq_kernel(k, layer):
+    """Effective f32 kernel the int8 path realizes: fold a vector a_scale,
+    fake-quant at per-output-channel scales, unfold. The scales are
+    recomputed from the current kernel under stop_gradient (absmax tracks
+    the weights as they drift during fine-tuning)."""
+    fold = None
+    if isinstance(layer.a_scale, np.ndarray):
+        shape = (1, 1, 1, -1) if layer.kind == "dw" else (1, 1, -1, 1)
+        fold = jnp.asarray(layer.a_scale).reshape(shape)
+        k = k * fold
+    s = jax.lax.stop_gradient(jnp.maximum(
+        jnp.max(jnp.abs(k), axis=(0, 1, 2), keepdims=True), 1e-12) / 127.0)
+    k = _fq(k, s)
+    if fold is not None:
+        k = k / fold
+    return k
+
+
+def _run_layers_fq(layers, x, params):
+    """f32 forward with fake-quantized weights/activations on the layers the
+    int8 path quantizes — the differentiable simulation of run_layers(quant=
+    True). params: {layer.name: {"kernel", "bias"}} trainable overrides."""
+    for layer in layers:
+        p = params.get(layer.name)
+        k = p["kernel"] if p else jnp.asarray(layer.kernel)
+        b = p["bias"] if p else jnp.asarray(layer.bias)
+        if (layer.quantize and layer.w_q is not None
+                and _scale_ok(layer.a_scale)):
+            x = _fq(x, layer.a_scale)
+            k = _fq_kernel(k, layer)
+        y = _conv(x, k, layer.strides, layer.groups) + b
+        y = _ACTS[layer.act](y)
+        if layer.kind == "out_d2s":
+            y = _depth_to_space2(y)
+        x = y
+    return x
+
+
+# ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
 
@@ -647,6 +704,130 @@ class QuantizedDetector:
             graph = bias_correct(graph, config, calib_images,
                                  flax_trunk=flax_trunk)
         return cls(graph, config, flax_trunk=flax_trunk)
+
+    def finetune(self, images, rois=None, steps: int = 200, lr: float = 1e-5,
+                 seed: int = 0):
+        """Quantization-aware fine-tuning (label-free distillation).
+
+        Tunes the quantized layers' kernels/biases so the int8 forward
+        matches the f32 teacher's outputs (raw grid, feature map, mask
+        probabilities) on `images`, using straight-through fake-quant —
+        the int8 rounding is inside the training loss, so the optimizer
+        moves weights to quantization-friendly points (the remaining
+        candidate docs/PERFORMANCE.md named after per-channel scales).
+
+        Results are written ONLY into the int8 deployment graph: tuned
+        kernels re-quantize into w_q/w_scale and tuned biases land in
+        bias_corr. run_layer_f32 / trunk(quant=False) keep the exact flax
+        weights, so parity oracles and re-calibration are unaffected.
+
+        Returns {"loss_initial", "loss_final"} (normalized MSE vs teacher).
+        """
+        import optax
+
+        graph, cfg = self.graph, self.config
+        if rois is None:
+            base = np.asarray([[0.0, 0.0, 1.0, 1.0], [0.1, 0.1, 0.6, 0.6],
+                               [0.4, 0.4, 0.9, 0.9],
+                               [0.25, 0.25, 0.75, 0.75]], np.float32)
+            rois = np.tile(base[None], (np.asarray(images).shape[0], 1, 1))
+        images = jnp.asarray(images)
+        rois = jnp.asarray(rois)
+        pool = cfg.MASK_POOL_SIZE
+        hw = tuple(cfg.IMAGE_SHAPE[:2])
+        b, r = rois.shape[:2]
+
+        def crop(fmap, dtype=jnp.float32):
+            if isinstance(fmap, (tuple, list)):
+                from .ops.roi_align import multilevel_crop_and_resize
+
+                x = multilevel_crop_and_resize(tuple(fmap), rois,
+                                               (pool, pool), image_hw=hw,
+                                               canonical_level=1)
+            else:
+                x = crop_and_resize(fmap, rois, (pool, pool), dtype=dtype)
+            return x.astype(jnp.float32).reshape(b * r, pool, pool,
+                                                 x.shape[-1])
+
+        # f32 teacher targets (original weights)
+        @jax.jit
+        def teacher():
+            if graph["trunk"] is not None:
+                raw_t, fmap_t = _trunk_outputs(graph, images, quant=False)
+            else:
+                raw_t, fmap_t = None, self._flax_trunk(images)[1]
+            mask_t = run_layers(graph["mask"], crop(fmap_t), quant=False)
+            return raw_t, fmap_t, mask_t
+
+        raw_t, fmap_t, mask_t = teacher()
+
+        params = {}
+        for part in graph.values():
+            for l in part or ():
+                if l.quantize and l.w_q is not None:
+                    bias = np.asarray(l.bias, np.float32)
+                    if l.bias_corr is not None:
+                        bias = bias + l.bias_corr
+                    params[l.name] = {
+                        "kernel": jnp.asarray(l.kernel, jnp.float32),
+                        "bias": jnp.asarray(bias),
+                    }
+        if not params:
+            return {"loss_initial": 0.0, "loss_final": 0.0}
+
+        def nmse(x, t):
+            return jnp.mean((x - t) ** 2) / (jnp.mean(t ** 2) + 1e-8)
+
+        def loss_fn(p):
+            if graph["trunk"] is not None:
+                c4 = _run_layers_fq(graph["trunk"], images, p)
+                fmap = _run_layers_fq(graph["neck"], c4, p)
+                raw = _run_layers_fq(graph["yolo"], c4, p)
+                loss = nmse(raw, raw_t) + nmse(fmap, fmap_t)
+            else:
+                fmap, loss = fmap_t, 0.0
+            mask = _run_layers_fq(graph["mask"], crop(fmap), p)
+            return loss + nmse(mask, mask_t)
+
+        opt = optax.adam(lr)
+
+        @jax.jit
+        def step(p, state):
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            upd, state = opt.update(grads, state)
+            return optax.apply_updates(p, upd), state, loss
+
+        state = opt.init(params)
+        loss0 = None
+        best = (np.inf, params)
+        for _ in range(int(steps)):
+            new_params, state, l = step(params, state)
+            l = float(l)  # loss at `params` (pre-update)
+            if loss0 is None:
+                loss0 = l
+            if l < best[0]:
+                best = (l, params)
+            params = new_params
+        # the last update's params are unevaluated; score them too so the
+        # returned graph is the best point actually observed
+        final_l = float(loss_fn(params))
+        if final_l < best[0]:
+            best = (final_l, params)
+        loss, params = best
+
+        # write back into the int8 deployment graph only
+        for part in graph.values():
+            for l in part or ():
+                p = params.get(l.name)
+                if p is None:
+                    continue
+                _quantize_layer_kernel(
+                    l, np.asarray(jax.device_get(p["kernel"]), np.float32))
+                l.bias_corr = (np.asarray(jax.device_get(p["bias"]),
+                                          np.float32)
+                               - np.asarray(l.bias, np.float32))
+        self._detect = None  # re-jit with the tuned constants
+        return {"loss_initial": loss0, "loss_final": loss}
 
     def trunk(self, images, quant: bool = True, fused_ds: bool | None = None,
               interpret: bool = False):

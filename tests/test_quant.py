@@ -340,3 +340,50 @@ def test_per_channel_and_bias_correct_compose(setup):
     scale = float(np.abs(np.asarray(g_f)).max())
     err = np.abs(np.asarray(g_q) - np.asarray(g_f)).max()
     assert err < 0.1 * scale + 0.05, (err, scale)
+
+
+def test_qat_finetune_reduces_error(setup):
+    """Label-free QAT fine-tuning: the distillation loss drops, the int8
+    trunk gets closer to f32 on the tuning batch, and the f32 parity path is
+    untouched (tuned weights live only in w_q/w_scale/bias_corr)."""
+    cfg, net, variables, images = setup
+    det = quant.QuantizedDetector.from_variables(variables, cfg,
+                                                 np.asarray(images))
+    g_f, _ = jax.jit(lambda im: det.trunk(im, quant=False))(images)
+    g_q0, _ = jax.jit(lambda im: det.trunk(im, quant=True))(images)
+
+    kernel_before = np.asarray(det.graph["trunk"][0].kernel).copy()
+    r = det.finetune(np.asarray(images), steps=60)
+    assert r["loss_final"] < r["loss_initial"], r
+
+    # f32 path and stored kernels untouched
+    np.testing.assert_array_equal(np.asarray(det.graph["trunk"][0].kernel),
+                                  kernel_before)
+    g_f1, _ = jax.jit(lambda im: det.trunk(im, quant=False))(images)
+    np.testing.assert_array_equal(np.asarray(g_f), np.asarray(g_f1))
+
+    # the int8 path still tracks f32 (the loss is a COMBINED normalized
+    # MSE over grid+fmap+mask: an individual term's absolute error may move
+    # either way at this random-init scale, so the loss drop above is the
+    # contract — quality evidence lives in the TPU A/B, docs/PERFORMANCE.md)
+    g_q1, _ = jax.jit(lambda im: det.trunk(im, quant=True))(images)
+    scale = float(np.abs(np.asarray(g_f)).max())
+    assert float(np.abs(np.asarray(g_q1) - np.asarray(g_f)).max()) \
+        < 0.1 * scale + 0.05
+
+    # detect still runs after the re-jit invalidation
+    out = det.detect_outputs(images)
+    assert out["boxes"].shape == (2, cfg.DETECTION_MAX_INSTANCES, 4)
+
+
+def test_maskyolo_quantize_finetune_api(setup, rng):
+    """MaskYOLO.quantize(finetune_steps=...) runs QAT end to end."""
+    from mask_yolo_tpu import MaskYOLO
+
+    cfg = setup[0]
+    model = MaskYOLO(mode="inference", config=cfg)
+    calib = rng.rand(2, *cfg.IMAGE_SHAPE).astype(np.float32)
+    model.quantize(calib, finetune_steps=5)
+    image = (rng.rand(*cfg.IMAGE_SHAPE) * 255).astype(np.uint8)
+    results = model.detect(image, display=False, cs_threshold=0.0)
+    assert "full_masks" in results[0]

@@ -65,6 +65,11 @@ def main():
     ap.add_argument("--num-overlays", type=int, default=3)
     ap.add_argument("--mask-top-k", type=int, default=None,
                     help="override CocoStyleConfig.MASK_TOP_K for eval")
+    ap.add_argument("--backbone", default=None,
+                    choices=["mobilenet", "resnet50_fpn"],
+                    help="override Config.BACKBONE (resnet50_fpn = the "
+                         "reference README's stated scale-up path, "
+                         "/root/reference/README.md:5)")
     ap.add_argument("--skip-int8", action="store_true")
     ap.add_argument("--resume-from", default=None,
                     help="checkpoint dir from a previous run's ckpt/ — "
@@ -82,6 +87,8 @@ def main():
 
     if args.mask_top_k is not None:
         RunConfig.MASK_TOP_K = args.mask_top_k
+    if args.backbone:
+        RunConfig.BACKBONE = args.backbone
     config = RunConfig()
     os.makedirs(args.out, exist_ok=True)
 
