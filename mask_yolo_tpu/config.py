@@ -96,6 +96,15 @@ class Config:
     # Optimization (reference: config.py:200-230)
     LEARNING_RATE = 0.001
     LEARNING_MOMENTUM = 0.9
+    # LR schedule over the whole train() call. "constant" is the reference's
+    # behavior (fixed Adam lr, model.py:1071-1075). "cosine" decays from
+    # LEARNING_RATE to LEARNING_RATE * LR_FINAL_FRACTION over the run, after
+    # LR_WARMUP_STEPS of linear warm-up (warm-up also applies to "constant"
+    # when > 0). On resume_from, the schedule position is the restored global
+    # step, and the decay horizon is the *current* call's total steps.
+    LR_SCHEDULE = "constant"
+    LR_WARMUP_STEPS = 0
+    LR_FINAL_FRACTION = 0.02
     WEIGHT_DECAY = 0.0001
     LOSS_WEIGHTS = {"yolo_sum_loss": 1.0, "myolo_mask_loss": 1.0}
     TRAIN_BN = False

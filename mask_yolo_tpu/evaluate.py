@@ -114,3 +114,70 @@ def evaluate_dataset(model, dataset, config, image_ids=None, batch_size=8,
         "per_image": per_image,
     }
     return result
+
+
+def make_ap_eval_callback(eval_dataset, config, every: int = 5,
+                          batch_size: int = 8, score_threshold: float = 0.35,
+                          history_path: str | None = None,
+                          best_weights_path: str | None = None,
+                          track: str = "box_ap50", verbose: bool = True):
+    """Build a MaskYOLO.train `custom_callbacks` entry that evaluates pooled
+    AP on `eval_dataset` every `every` epochs with the in-flight weights.
+
+    Motivation (measured, docs/PERFORMANCE.md "80-class operating point"):
+    val_loss is a misleading model-selection signal for this detector — on
+    the 81-class run it bottomed at epoch 18 and *rose* 2.9 → 3.9 while box
+    AP50 kept climbing 0.13 → 0.31. Early stopping or best-checkpoint
+    selection must therefore watch AP, not val_loss; the reference had no
+    quantitative eval at all (its ModelCheckpoint kept every epoch,
+    /root/reference/myolo/model.py:1024-1027).
+
+    history_path: append one JSON line per evaluation ({"epoch", metrics...}).
+    best_weights_path: save weights whenever metrics[track] improves.
+    Returns the callback; the callback object exposes `.history` (list) and
+    `.best` (best tracked value so far).
+    """
+    from . import model as model_lib
+
+    state_holder = {"infer": None, "best": -1.0}
+
+    def cb(epoch, train_metrics, val_loss, state):
+        # `epoch` is 0-based (train() invokes callbacks after epoch+1 epochs
+        # have run); evaluate on every `every`-th completed epoch so a run
+        # whose total divides by `every` always ends with an evaluation
+        del train_metrics, val_loss
+        if (epoch + 1) % every:
+            return
+        import jax as _jax
+        import json as _json
+
+        if state_holder["infer"] is None:
+            state_holder["infer"] = model_lib.MaskYOLO(
+                mode="inference", config=config)
+        infer = state_holder["infer"]
+        # in-flight weights (device_get collapses any mesh sharding; the
+        # jitted detect_fn takes variables as an argument, so no recompile)
+        infer.params = _jax.device_get(state.params)
+        infer.batch_stats = _jax.device_get(state.batch_stats)
+        result = evaluate_dataset(infer, eval_dataset, config,
+                                  batch_size=batch_size,
+                                  score_threshold=score_threshold)
+        result.pop("per_image", None)
+        entry = {"epoch": int(epoch) + 1, **{k: v for k, v in result.items()}}
+        cb.history.append(entry)
+        if verbose:
+            print(f"  eval@{epoch}: box_ap50 {result['box_ap50']:.3f} "
+                  f"mask_ap50 {result['mask_ap50']:.3f} "
+                  f"recall {result['mean_recall50']:.3f}")
+        if history_path:
+            with open(history_path, "a") as f:
+                f.write(_json.dumps(entry) + "\n")
+        if result.get(track, 0.0) > state_holder["best"]:
+            state_holder["best"] = float(result[track])
+            cb.best = state_holder["best"]
+            if best_weights_path:
+                infer.save_weights(best_weights_path)
+
+    cb.history = []
+    cb.best = -1.0
+    return cb

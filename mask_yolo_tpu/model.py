@@ -150,7 +150,8 @@ class MaskYOLO:
 
     # -- training ------------------------------------------------------------
 
-    def compile(self, learning_rate, momentum=None, layer_regex: str = ".*"):
+    def compile(self, learning_rate, momentum=None, layer_regex: str = ".*",
+                total_steps: int = 0):
         """Create the optimizer (Adam, reference model.py:1071-1075) and the
         jitted train step. `momentum` is accepted for signature parity; Adam
         ignores it exactly like the reference does.
@@ -164,7 +165,8 @@ class MaskYOLO:
         frozen = () if self.yolo_trainable else ("backbone", "yolo")
         self._tx = state_lib.make_optimizer(
             learning_rate, self.config, params=self.params,
-            layer_regex=layer_regex, frozen_prefixes=frozen)
+            layer_regex=layer_regex, frozen_prefixes=frozen,
+            total_steps=total_steps)
         self._train_step = trainer_lib.make_train_step(
             self.net, self.config, self._tx,
             mode="training" if self.mode == "training" else "yolo")
@@ -217,8 +219,11 @@ class MaskYOLO:
                                  shuffle=False)
 
         self.set_trainable(layer_regex)
+        steps_per_epoch = (int(getattr(self.config, "STEPS_PER_EPOCH", 0) or 0)
+                           or len(train_gen))
         self.compile(learning_rate, self.config.LEARNING_MOMENTUM,
-                     layer_regex=layer_regex)
+                     layer_regex=layer_regex,
+                     total_steps=max(1, epochs * steps_per_epoch))
 
         mesh = self.mesh
         state = state_lib.create_train_state(

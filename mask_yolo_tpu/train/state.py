@@ -92,19 +92,53 @@ def zero_nonfinite():
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def make_lr_schedule(learning_rate: float, config, total_steps: int = 0):
+    """Resolve config.LR_SCHEDULE into an optax schedule (or a scalar).
+
+    "constant" (default) reproduces the reference's fixed Adam lr
+    (model.py:1071-1075); "cosine" decays peak→peak*LR_FINAL_FRACTION over
+    `total_steps`, with LR_WARMUP_STEPS of linear warm-up in either mode.
+    Returns the bare float when no schedule is active so the optimizer state
+    stays identical to previous rounds' checkpoints.
+    """
+    kind = str(getattr(config, "LR_SCHEDULE", "constant") or "constant")
+    warmup = int(getattr(config, "LR_WARMUP_STEPS", 0) or 0)
+    if kind == "constant":
+        if warmup <= 0:
+            return learning_rate
+        return optax.linear_schedule(0.0, learning_rate, warmup)
+    if kind != "cosine":
+        raise ValueError(f"unknown LR_SCHEDULE {kind!r} "
+                         "(expected 'constant' or 'cosine')")
+    if total_steps <= 0:
+        raise ValueError("LR_SCHEDULE='cosine' needs total_steps > 0 "
+                         "(train() passes epochs * steps_per_epoch)")
+    end = learning_rate * float(getattr(config, "LR_FINAL_FRACTION", 0.0))
+    warmup = min(warmup, max(total_steps - 1, 0))
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0 if warmup > 0 else learning_rate,
+        peak_value=learning_rate,
+        warmup_steps=warmup,
+        decay_steps=total_steps,
+        end_value=end)
+
+
 def make_optimizer(learning_rate: float, config, params=None,
-                   layer_regex: str = ".*", frozen_prefixes: tuple = ()):
+                   layer_regex: str = ".*", frozen_prefixes: tuple = (),
+                   total_steps: int = 0):
     """Adam + clipping + optional freezing.
 
     frozen_prefixes: top-level module names to freeze regardless of regex —
     used for `yolo_trainable=False` (reference model.py:866-868 freezes the
     whole pretrained YOLO branch).
+    total_steps: decay horizon for LR_SCHEDULE='cosine' (see make_lr_schedule).
     """
     clip = float(getattr(config, "GRADIENT_CLIP_NORM", 0) or 0)
     chain = [zero_nonfinite()]
     if clip > 0:
         chain.append(optax.clip_by_global_norm(clip))
-    chain.append(optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8))
+    lr = make_lr_schedule(learning_rate, config, total_steps)
+    chain.append(optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8))
     adam = optax.chain(*chain)
 
     if layer_regex == ".*" and not frozen_prefixes:

@@ -89,3 +89,45 @@ def test_evaluate_dataset_pads_trailing_batch():
     result = evaluate_dataset(model, ds, cfg, batch_size=2)
     assert result["n_images"] == 5
     assert len(result["per_image"]) == 5
+
+
+def test_ap_eval_callback_during_train(tmp_path):
+    """make_ap_eval_callback: runs inside MaskYOLO.train on its cadence with
+    the in-flight weights, appends JSONL history, and saves best weights."""
+    import json
+    import os
+
+    from mask_yolo_tpu import make_ap_eval_callback
+    from conftest import TinyConfig
+
+    class ShapesTiny(TinyConfig):
+        NUM_CLASSES = 4
+        LABELS = ["background", "square", "circle", "triangle"]
+        BATCH_SIZE = 4
+        VALIDATION_STEPS = 1
+
+    cfg = ShapesTiny()
+    tr = ShapesDataset(); tr.load_shapes(4, 64, 64, seed=0); tr.prepare()
+    va = ShapesDataset(); va.load_shapes(4, 64, 64, seed=1); va.prepare()
+
+    hist = tmp_path / "ap_history.jsonl"
+    best = tmp_path / "best_weights"
+    cb = make_ap_eval_callback(va, cfg, every=2, batch_size=4,
+                               score_threshold=0.0,
+                               history_path=str(hist),
+                               best_weights_path=str(best), verbose=False)
+    m = MaskYOLO(mode="training", config=cfg, model_dir=str(tmp_path / "ckpt"))
+    m.train(tr, va, learning_rate=1e-3, epochs=4, layers="all",
+            custom_callbacks=[cb], verbose=False)
+
+    # every=2 over 4 epochs → evaluations after epochs 2 and 4
+    assert [e["epoch"] for e in cb.history] == [2, 4]
+    lines = [json.loads(l) for l in hist.read_text().splitlines()]
+    assert [e["epoch"] for e in lines] == [2, 4]
+    assert all("box_ap50" in e and "mask_ap50" in e for e in lines)
+    assert cb.best >= 0.0
+    assert os.path.exists(best)  # best weights saved at least once
+
+    # best weights load back through the public API
+    infer = MaskYOLO(mode="inference", config=cfg)
+    infer.load_weights(str(best))

@@ -254,3 +254,62 @@ def test_prefetcher_early_abandon_does_not_hang(setup):
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before, "prefetch worker still alive"
+
+
+def test_lr_schedule_resolution():
+    """make_lr_schedule: constant stays a scalar (checkpoint-compatible with
+    prior rounds); cosine warms up to the peak and decays to the floor."""
+    from conftest import TinyConfig
+
+    class Constant(TinyConfig):
+        pass
+
+    class Cosine(TinyConfig):
+        LR_SCHEDULE = "cosine"
+        LR_WARMUP_STEPS = 10
+        LR_FINAL_FRACTION = 0.1
+
+    assert state_lib.make_lr_schedule(1e-3, Constant(), 100) == 1e-3
+    sched = state_lib.make_lr_schedule(1e-3, Cosine(), 100)
+    assert float(sched(0)) == 0.0                       # warm-up start
+    assert np.isclose(float(sched(10)), 1e-3)           # peak after warm-up
+    assert np.isclose(float(sched(100)), 1e-4)          # floor at horizon
+    mid = float(sched(55))
+    assert 1e-4 < mid < 1e-3                            # strictly decaying
+    with pytest.raises(ValueError):
+        state_lib.make_lr_schedule(1e-3, Cosine(), 0)   # needs a horizon
+
+    class Bad(TinyConfig):
+        LR_SCHEDULE = "triangular"
+
+    with pytest.raises(ValueError):
+        state_lib.make_lr_schedule(1e-3, Bad(), 100)
+
+
+def test_cosine_schedule_trains_and_resumes(tmp_path):
+    """End-to-end: cosine schedule trains through MaskYOLO.train and the
+    schedule position survives resume_from (optax count restores)."""
+    from mask_yolo_tpu import MaskYOLO
+    from conftest import TinyConfig
+
+    class Cfg(TinyConfig):
+        NUM_CLASSES = 4
+        LABELS = ["background", "square", "circle", "triangle"]
+        BATCH_SIZE = 4
+        LR_SCHEDULE = "cosine"
+        LR_WARMUP_STEPS = 2
+        VALIDATION_STEPS = 1
+
+    cfg = Cfg()
+    tr = ShapesDataset(); tr.load_shapes(8, 64, 64, seed=0); tr.prepare()
+    va = ShapesDataset(); va.load_shapes(4, 64, 64, seed=1); va.prepare()
+    m = MaskYOLO(mode="training", config=cfg, model_dir=str(tmp_path / "a"))
+    state = m.train(tr, va, learning_rate=1e-3, epochs=2, layers="all",
+                    verbose=False)
+    assert int(state.step) == 4  # 2 epochs x 2 steps
+    ckpts = sorted((tmp_path / "a").glob("saved_model_*"))
+    assert ckpts
+    m2 = MaskYOLO(mode="training", config=cfg, model_dir=str(tmp_path / "b"))
+    state2 = m2.train(tr, va, learning_rate=1e-3, epochs=3, layers="all",
+                      verbose=False, resume_from=str(ckpts[-1]))
+    assert int(state2.step) == 6

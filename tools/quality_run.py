@@ -45,6 +45,14 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--num-overlays", type=int, default=4)
     ap.add_argument("--score-threshold", type=float, default=0.35)
+    ap.add_argument("--lr-schedule", default="constant",
+                    choices=["constant", "cosine"],
+                    help="Config.LR_SCHEDULE for the run")
+    ap.add_argument("--lr-warmup-steps", type=int, default=0)
+    ap.add_argument("--eval-every", type=int, default=0,
+                    help="evaluate pooled AP on the eval set every N epochs "
+                         "during training (make_ap_eval_callback); tracks "
+                         "the best box_ap50 checkpoint")
     args = ap.parse_args()
 
     from mask_yolo_tpu import MaskYOLO, evaluate_dataset
@@ -52,6 +60,8 @@ def main():
 
     class RunConfig(ShapesConfig):
         BATCH_SIZE = args.batch_size
+        LR_SCHEDULE = args.lr_schedule
+        LR_WARMUP_STEPS = args.lr_warmup_steps
 
     if args.compute_dtype:
         RunConfig.COMPUTE_DTYPE = args.compute_dtype
@@ -82,11 +92,23 @@ def main():
         from mask_yolo_tpu.data.augment import default_augmenter
         augmentation = default_augmenter(seed=args.seed + 7)
 
+    callbacks = None
+    ap_cb = None
+    if args.eval_every > 0:
+        from mask_yolo_tpu import make_ap_eval_callback
+        ap_cb = make_ap_eval_callback(
+            eval_ds, config, every=args.eval_every, batch_size=8,
+            score_threshold=args.score_threshold,
+            history_path=os.path.join(args.out, "ap_history.jsonl"),
+            best_weights_path=os.path.join(args.out, "best_weights"))
+        callbacks = [ap_cb]
+
     model = MaskYOLO(mode="training", config=config,
                      model_dir=os.path.join(args.out, "ckpt"), seed=args.seed)
     t0 = time.perf_counter()
     model.train(train_ds, val_ds, learning_rate=args.lr, epochs=args.epochs,
-                layers="all", augmentation=augmentation)
+                layers="all", augmentation=augmentation,
+                custom_callbacks=callbacks)
     train_s = time.perf_counter() - t0
     weights = os.path.join(args.out, "weights")
     model.save_weights(weights)
@@ -129,6 +151,11 @@ def main():
     result["eval_seconds"] = round(eval_s, 1)
     result["epochs"] = args.epochs
     result["train_images"] = args.train_images
+    if ap_cb is not None and ap_cb.history:
+        result["best_epoch_box_ap50"] = ap_cb.best
+        result["ap_trajectory"] = [
+            {k: e[k] for k in ("epoch", "box_ap50", "mask_ap50")}
+            for e in ap_cb.history]
     with open(os.path.join(args.out, "metrics.json"), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result, indent=2), flush=True)

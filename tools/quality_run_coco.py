@@ -71,9 +71,23 @@ def main():
                          "reference README's stated scale-up path, "
                          "/root/reference/README.md:5)")
     ap.add_argument("--skip-int8", action="store_true")
+    ap.add_argument("--int8-per-channel", action="store_true",
+                    help="QUANT_PER_CHANNEL_ACT for the int8 eval (the best "
+                         "measured 81-class PTQ variant, docs/PERFORMANCE.md)")
+    ap.add_argument("--int8-qat-steps", type=int, default=0,
+                    help="label-free QAT finetune steps for the int8 eval")
+    ap.add_argument("--calib-images", type=int, default=8)
     ap.add_argument("--resume-from", default=None,
                     help="checkpoint dir from a previous run's ckpt/ — "
                          "continues training to --epochs total")
+    ap.add_argument("--lr-schedule", default="constant",
+                    choices=["constant", "cosine"],
+                    help="Config.LR_SCHEDULE for the run")
+    ap.add_argument("--lr-warmup-steps", type=int, default=0)
+    ap.add_argument("--eval-every", type=int, default=0,
+                    help="evaluate pooled AP on the eval set every N epochs "
+                         "during training (make_ap_eval_callback); tracks "
+                         "the best box_ap50 checkpoint")
     args = ap.parse_args()
 
     from mask_yolo_tpu import MaskYOLO, evaluate_dataset
@@ -84,6 +98,8 @@ def main():
         NUM_CLASSES = 1 + args.num_classes
         LABELS = (["background"]
                   + [f"c{i:02d}" for i in range(1, args.num_classes + 1)])
+        LR_SCHEDULE = args.lr_schedule
+        LR_WARMUP_STEPS = args.lr_warmup_steps
 
     if args.mask_top_k is not None:
         RunConfig.MASK_TOP_K = args.mask_top_k
@@ -103,11 +119,23 @@ def main():
           f"eval={len(eval_ds.image_ids)} classes={train_ds.num_classes}",
           flush=True)
 
+    callbacks = None
+    ap_cb = None
+    if args.eval_every > 0:
+        from mask_yolo_tpu import make_ap_eval_callback
+        ap_cb = make_ap_eval_callback(
+            eval_ds, config, every=args.eval_every, batch_size=8,
+            score_threshold=args.score_threshold,
+            history_path=os.path.join(args.out, "ap_history.jsonl"),
+            best_weights_path=os.path.join(args.out, "best_weights"))
+        callbacks = [ap_cb]
+
     model = MaskYOLO(mode="training", config=config,
                      model_dir=os.path.join(args.out, "ckpt"), seed=args.seed)
     t0 = time.perf_counter()
     model.train(train_ds, val_ds, learning_rate=args.lr, epochs=args.epochs,
-                layers="all", resume_from=args.resume_from)
+                layers="all", resume_from=args.resume_from,
+                custom_callbacks=callbacks)
     train_s = time.perf_counter() - t0
     weights = os.path.join(args.out, "weights")
     model.save_weights(weights)
@@ -128,10 +156,14 @@ def main():
         from mask_yolo_tpu.data.loader import load_image_gt
         from mask_yolo_tpu.quant import QuantizedDetector
 
+        if args.int8_per_channel:
+            config.QUANT_PER_CHANNEL_ACT = True
         calib = np.stack([
             load_image_gt(eval_ds, config, i)[0].astype(np.float32) / 255.0
-            for i in list(eval_ds.image_ids)[:8]])
+            for i in list(eval_ds.image_ids)[:args.calib_images]])
         qdet = QuantizedDetector.from_variables(infer.variables, config, calib)
+        if args.int8_qat_steps:
+            qdet.finetune(calib, steps=args.int8_qat_steps, lr=1e-5)
 
         class _QuantAdapter:
             def detect_batch(self, images):
@@ -149,6 +181,11 @@ def main():
     result["train_images"] = args.train_images
     result["num_classes"] = args.num_classes
     result["mask_top_k"] = config.MASK_TOP_K
+    if ap_cb is not None and ap_cb.history:
+        result["best_epoch_box_ap50"] = ap_cb.best
+        result["ap_trajectory"] = [
+            {k: e[k] for k in ("epoch", "box_ap50", "mask_ap50")}
+            for e in ap_cb.history]
     with open(os.path.join(args.out, "metrics.json"), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result, indent=2), flush=True)
