@@ -247,3 +247,43 @@ def dataset_to_coco_json(dataset, out_dir, annotation_name="instances.json",
         json.dump({"images": images, "annotations": annotations,
                    "categories": categories}, f)
     return ann_path
+
+
+def detections_to_coco_results(image_id, boxes, class_ids, scores, masks=None,
+                               scale=None):
+    """Convert one image's detections to COCO "results"-format entries
+    (the list-of-dicts format pycocotools' COCOeval.loadRes consumes).
+
+    boxes: [N, 4] (x1, y1, x2, y2) pixels in the network frame;
+    class_ids/scores: [N]; masks: optional [H, W, N] bool/float in the
+    network frame. scale: optional (sy, sx) network-frame = original * scale
+    (utils.image.resize_image's per-axis factors) — when given, boxes and
+    masks are mapped back to the original image frame so the results score
+    directly against the original annotations.
+    """
+    from ..utils.image import resize_nearest
+
+    boxes = np.asarray(boxes, np.float64)
+    results = []
+    for i in range(len(boxes)):
+        x1, y1, x2, y2 = boxes[i]
+        if scale is not None:
+            sy, sx = float(scale[0]), float(scale[1])
+            x1, x2, y1, y2 = x1 / sx, x2 / sx, y1 / sy, y2 / sy
+        entry = {
+            "image_id": int(image_id) if not isinstance(image_id, str) else image_id,
+            "category_id": int(class_ids[i]),
+            "bbox": [float(x1), float(y1), float(x2 - x1), float(y2 - y1)],
+            "score": float(scores[i]),
+        }
+        if masks is not None:
+            m = np.asarray(masks[..., i])
+            m = m >= 0.5 if m.dtype != bool else m
+            if scale is not None:
+                m = resize_nearest(m.astype(np.uint8),
+                                   (1.0 / float(scale[0]),
+                                    1.0 / float(scale[1]))).astype(bool)
+            entry["segmentation"] = {"size": list(m.shape[:2]),
+                                     "counts": rle_encode(m)}
+        results.append(entry)
+    return results

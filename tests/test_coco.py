@@ -2,6 +2,8 @@
 a full Dataset→COCO-JSON→Dataset round trip, and the >MASK_TOP_K-survivors
 detect behavior (VERDICT r2 missing #2 / weak #3)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -194,3 +196,90 @@ def test_mask_top_k_with_more_survivors(rng):
     # the kp highest scores among survivors)
     scores = out["scores"][0]
     assert scores[:kp].min() >= scores[kp:k][out["valid"][0][kp:k]].max()
+
+
+def test_detections_to_coco_results_scale_mapping():
+    """detections_to_coco_results maps boxes/masks back to the original frame
+    through resize_image's per-axis scale and emits scoreable COCO entries."""
+    from mask_yolo_tpu.data.coco import (decode_segmentation,
+                                         detections_to_coco_results)
+
+    # network frame 64x64, original 128x96 (h, w) -> scale = (0.5, 2/3)
+    scale = (64 / 128, 64 / 96)
+    boxes = np.array([[16.0, 8.0, 48.0, 32.0]])  # x1 y1 x2 y2, net frame
+    masks = np.zeros((64, 64, 1), np.float32)
+    masks[8:32, 16:48, 0] = 1.0
+    res = detections_to_coco_results(7, boxes, [2], [0.9], masks, scale=scale)
+    assert len(res) == 1
+    e = res[0]
+    assert e["image_id"] == 7 and e["category_id"] == 2
+    x, y, w, h = e["bbox"]
+    # x: 16 / (2/3) = 24, w: 32 / (2/3) = 48; y: 8/0.5 = 16, h: 24/0.5 = 48
+    assert np.allclose([x, y, w, h], [24.0, 16.0, 48.0, 48.0])
+    m = decode_segmentation(e["segmentation"], tuple(e["segmentation"]["size"]))
+    assert e["segmentation"]["size"] == [128, 96]
+    # mask area scales by 1/(sy*sx) = 3 (nearest resize, allow rounding slop)
+    assert abs(m.sum() - masks.sum() * 3) / (masks.sum() * 3) < 0.1
+    # no scale: identity
+    res2 = detections_to_coco_results("img_a", boxes, [1], [0.5])
+    assert res2[0]["image_id"] == "img_a"
+    assert np.allclose(res2[0]["bbox"], [16.0, 8.0, 32.0, 24.0])
+
+
+def test_predict_cli_end_to_end(tmp_path):
+    """tools/predict.py: weights + PNG directory -> COCO results JSON with
+    original-frame geometry (images intentionally NOT at network size)."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    from PIL import Image
+
+    from mask_yolo_tpu import MaskYOLO
+    from mask_yolo_tpu.data.shapes import ShapesDataset
+    from conftest import TinyConfig
+
+    class Cfg(TinyConfig):
+        NUM_CLASSES = 4
+        LABELS = ["background", "square", "circle", "triangle"]
+
+    cfg = Cfg()
+    m = MaskYOLO(mode="training", config=cfg, model_dir=str(tmp_path / "ckpt"))
+    weights = tmp_path / "weights"
+    m.save_weights(str(weights))
+    # persist the config the way train() does
+    (tmp_path / "ckpt").mkdir(exist_ok=True)
+    with open(tmp_path / "ckpt" / "config.json", "w") as f:
+        json.dump({k: v for k, v in cfg.to_dict().items()
+                   if isinstance(v, (int, float, str, bool, list, tuple,
+                                     dict, type(None)))}, f, default=str)
+
+    ds = ShapesDataset(); ds.load_shapes(3, 96, 96, seed=3); ds.prepare()
+    img_dir = tmp_path / "imgs"; img_dir.mkdir()
+    for i in ds.image_ids:
+        Image.fromarray(ds.load_image(i)).save(img_dir / f"{i:03d}.png")
+
+    out_json = tmp_path / "res.json"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "predict.py"),
+         "--weights", str(weights),
+         "--config-json", str(tmp_path / "ckpt" / "config.json"),
+         "--images", str(img_dir), "--out", str(out_json),
+         "--batch-size", "2", "--score-threshold", "0.0"],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    results = json.loads(out_json.read_text())
+    assert isinstance(results, list)
+    for e in results:
+        assert set(e) >= {"image_id", "category_id", "bbox", "score",
+                          "segmentation"}
+        # original-frame geometry: 96x96 inputs vs 64x64 net frame
+        assert e["segmentation"]["size"] == [96, 96]
+        # untrained weights may decode boxes past the canvas; just check the
+        # coordinates are in the original frame's order of magnitude (the
+        # exact scale mapping is unit-tested above)
+        x, y, w, h = e["bbox"]
+        assert -96 <= x <= 192 and -96 <= y <= 192 and w <= 288 and h <= 288
