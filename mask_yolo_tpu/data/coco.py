@@ -249,8 +249,23 @@ def dataset_to_coco_json(dataset, out_dir, annotation_name="instances.json",
     return ann_path
 
 
+def coco_category_map(categories_or_annotation_file):
+    """internal class index (1..N, the contiguous ids `load_coco` assigns in
+    sorted-category-id order) → original COCO category id. Pass either the
+    annotation file path or its already-loaded "categories" list. Needed to
+    score results against real COCO annotations, whose category ids are
+    non-contiguous (1..90 with gaps); datasets materialized by
+    `dataset_to_coco_json` use contiguous ids, where the map is identity."""
+    cats = categories_or_annotation_file
+    if isinstance(cats, str):
+        with open(cats) as f:
+            cats = json.load(f).get("categories", [])
+    cats = sorted(cats, key=lambda c: c["id"])
+    return {i + 1: int(c["id"]) for i, c in enumerate(cats)}
+
+
 def detections_to_coco_results(image_id, boxes, class_ids, scores, masks=None,
-                               scale=None):
+                               scale=None, category_map=None):
     """Convert one image's detections to COCO "results"-format entries
     (the list-of-dicts format pycocotools' COCOeval.loadRes consumes).
 
@@ -260,6 +275,11 @@ def detections_to_coco_results(image_id, boxes, class_ids, scores, masks=None,
     (utils.image.resize_image's per-axis factors) — when given, boxes and
     masks are mapped back to the original image frame so the results score
     directly against the original annotations.
+
+    category_map: optional {internal class index → source category id}
+    (see coco_category_map). Without it the model's internal contiguous
+    index is emitted — correct for datasets written by dataset_to_coco_json,
+    WRONG against real COCO annotations whose ids have gaps.
     """
     from ..utils.image import resize_nearest
 
@@ -270,9 +290,12 @@ def detections_to_coco_results(image_id, boxes, class_ids, scores, masks=None,
         if scale is not None:
             sy, sx = float(scale[0]), float(scale[1])
             x1, x2, y1, y2 = x1 / sx, x2 / sx, y1 / sy, y2 / sy
+        cid = int(class_ids[i])
+        if category_map is not None:
+            cid = int(category_map[cid])
         entry = {
             "image_id": int(image_id) if not isinstance(image_id, str) else image_id,
-            "category_id": int(class_ids[i]),
+            "category_id": cid,
             "bbox": [float(x1), float(y1), float(x2 - x1), float(y2 - y1)],
             "score": float(scores[i]),
         }

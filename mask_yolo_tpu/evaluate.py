@@ -139,6 +139,12 @@ def make_ap_eval_callback(eval_dataset, config, every: int = 5,
     """
     from . import model as model_lib
 
+    _tracks = ("box_ap50", "box_map", "mask_ap50", "mask_map",
+               "box_ap50_per_image", "box_map_per_image",
+               "mask_ap50_per_image", "mean_recall50")
+    if track not in _tracks:
+        raise ValueError(f"track={track!r} not one of {_tracks}")
+
     state_holder = {"infer": None, "best": -1.0}
 
     def cb(epoch, train_metrics, val_loss, state):
@@ -163,10 +169,10 @@ def make_ap_eval_callback(eval_dataset, config, every: int = 5,
                                   batch_size=batch_size,
                                   score_threshold=score_threshold)
         result.pop("per_image", None)
-        entry = {"epoch": int(epoch) + 1, **{k: v for k, v in result.items()}}
+        entry = {"epoch": int(epoch) + 1, **result}
         cb.history.append(entry)
         if verbose:
-            print(f"  eval@{epoch}: box_ap50 {result['box_ap50']:.3f} "
+            print(f"  eval@{epoch + 1}: box_ap50 {result['box_ap50']:.3f} "
                   f"mask_ap50 {result['mask_ap50']:.3f} "
                   f"recall {result['mean_recall50']:.3f}")
         if history_path:

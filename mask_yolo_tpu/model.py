@@ -219,8 +219,11 @@ class MaskYOLO:
                                  shuffle=False)
 
         self.set_trainable(layer_regex)
-        steps_per_epoch = (int(getattr(self.config, "STEPS_PER_EPOCH", 0) or 0)
-                           or len(train_gen))
+        # cosine decay horizon = steps that will actually run: run_epoch caps
+        # each epoch at min(STEPS_PER_EPOCH, len(generator)) (_LimitedSource)
+        steps_cap = int(getattr(self.config, "STEPS_PER_EPOCH", 0) or 0)
+        steps_per_epoch = (min(steps_cap, len(train_gen)) if steps_cap
+                           else len(train_gen))
         self.compile(learning_rate, self.config.LEARNING_MOMENTUM,
                      layer_regex=layer_regex,
                      total_steps=max(1, epochs * steps_per_epoch))

@@ -211,7 +211,14 @@ def load_checkpoint(path: str, template=None) -> dict:
 def resume_train_state(path: str, fresh_state: TrainState):
     """Rebuild a TrainState (+ start epoch) from a checkpoint written by
     save_checkpoint, restoring optimizer moments into the fresh state's
-    structure."""
+    structure.
+
+    If the checkpoint's opt_state structure doesn't match the fresh
+    optimizer's (e.g. the run resumes under a different LR_SCHEDULE kind —
+    constant vs cosine store different optax pytrees), the optimizer state is
+    RESET to the fresh one with a warning and params/BN/step/epoch still
+    restore — continuing training beats crashing, at the cost of re-warming
+    Adam's moments."""
     template = {
         "params": jax.device_get(fresh_state.params),
         "batch_stats": jax.device_get(fresh_state.batch_stats),
@@ -219,11 +226,27 @@ def resume_train_state(path: str, fresh_state: TrainState):
         "step": 0,
         "epoch": 0,
     }
-    ckpt = load_checkpoint(path, template=template)
+    try:
+        ckpt = load_checkpoint(path, template=template)
+        opt_state = ckpt["opt_state"]
+    except Exception:
+        import warnings
+
+        raw = load_checkpoint(path)  # structure-free restore
+        ckpt = {"params": jax.tree.map(jnp.asarray, raw["params"]),
+                "batch_stats": jax.tree.map(jnp.asarray,
+                                            raw.get("batch_stats") or {}),
+                "step": raw.get("step", 0),
+                "epoch": raw.get("epoch", 0)}
+        opt_state = fresh_state.opt_state
+        warnings.warn(
+            f"checkpoint {path}: optimizer state structure does not match "
+            "the current optimizer (different LR_SCHEDULE / freezing?) — "
+            "optimizer moments RESET, params/BN/epoch restored")
     state = TrainState(
         params=ckpt["params"],
         batch_stats=ckpt["batch_stats"],
-        opt_state=ckpt["opt_state"],
+        opt_state=opt_state,
         step=jnp.asarray(ckpt["step"], jnp.int32),
     )
     return state, int(ckpt["epoch"])

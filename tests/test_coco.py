@@ -283,3 +283,40 @@ def test_predict_cli_end_to_end(tmp_path):
         # exact scale mapping is unit-tested above)
         x, y, w, h = e["bbox"]
         assert -96 <= x <= 192 and -96 <= y <= 192 and w <= 288 and h <= 288
+
+
+def test_coco_category_map_noncontiguous_ids(tmp_path):
+    """coco_category_map: internal contiguous indices → original (gappy) COCO
+    ids, matching CocoDataset.load_coco's sorted-id class registration."""
+    import json
+
+    from mask_yolo_tpu.data.coco import coco_category_map, detections_to_coco_results
+
+    cats = [{"id": 15, "name": "bench"}, {"id": 1, "name": "person"},
+            {"id": 90, "name": "toothbrush"}]
+    ann = tmp_path / "ann.json"
+    ann.write_text(json.dumps({"categories": cats, "images": [],
+                               "annotations": []}))
+    m = coco_category_map(str(ann))
+    assert m == {1: 1, 2: 15, 3: 90}
+    res = detections_to_coco_results(
+        0, np.array([[0.0, 0.0, 4.0, 4.0]]), [2], [0.7], category_map=m)
+    assert res[0]["category_id"] == 15
+
+
+def test_predict_image_id_disambiguation():
+    """assign_image_ids falls back to full paths when stems collide
+    ('7.png' vs '007.png', or equal names across directories)."""
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "predict_tool", os.path.join(repo, "tools", "predict.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    assert mod.assign_image_ids(["a/7.png", "a/008.png"]) == [7, 8]
+    assert mod.assign_image_ids(["a/7.png", "b/007.png"]) == \
+        ["a/7.png", "b/007.png"]
+    assert mod.assign_image_ids(["a/x.png", "b/x.png"]) == \
+        ["a/x.png", "b/x.png"]

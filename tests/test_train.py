@@ -313,3 +313,38 @@ def test_cosine_schedule_trains_and_resumes(tmp_path):
     state2 = m2.train(tr, va, learning_rate=1e-3, epochs=3, layers="all",
                       verbose=False, resume_from=str(ckpts[-1]))
     assert int(state2.step) == 6
+
+
+def test_resume_across_schedule_kinds_resets_optimizer(tmp_path):
+    """Resuming a constant-LR checkpoint under LR_SCHEDULE='cosine' (different
+    optax opt_state structure) restores params/epoch with a warning instead of
+    crashing; the optimizer moments reset."""
+    import warnings
+
+    from mask_yolo_tpu import MaskYOLO
+    from conftest import TinyConfig
+
+    class Base(TinyConfig):
+        NUM_CLASSES = 4
+        LABELS = ["background", "square", "circle", "triangle"]
+        BATCH_SIZE = 4
+        VALIDATION_STEPS = 1
+
+    class CosineCfg(Base):
+        LR_SCHEDULE = "cosine"
+        LR_WARMUP_STEPS = 1
+
+    tr = ShapesDataset(); tr.load_shapes(4, 64, 64, seed=0); tr.prepare()
+    va = ShapesDataset(); va.load_shapes(4, 64, 64, seed=1); va.prepare()
+    m = MaskYOLO(mode="training", config=Base(), model_dir=str(tmp_path / "a"))
+    m.train(tr, va, learning_rate=1e-3, epochs=1, layers="all", verbose=False)
+    ckpt = sorted((tmp_path / "a").glob("saved_model_*"))[-1]
+
+    m2 = MaskYOLO(mode="training", config=CosineCfg(),
+                  model_dir=str(tmp_path / "b"))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        state = m2.train(tr, va, learning_rate=1e-3, epochs=2, layers="all",
+                         verbose=False, resume_from=str(ckpt))
+    assert any("optimizer moments RESET" in str(x.message) for x in w)
+    assert int(state.step) == 2  # epoch 1 restored + 1 more epoch x 1 step

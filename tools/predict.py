@@ -33,24 +33,21 @@ def build_config(args):
     from mask_yolo_tpu.config import Config, CocoStyleConfig
     from mask_yolo_tpu.data.shapes import ShapesConfig
 
+    base = {"shapes": ShapesConfig, "coco": CocoStyleConfig,
+            None: Config}[args.config]
+    fields = {}
     if args.config_json:
         with open(args.config_json) as f:
             loaded = json.load(f)
         # config.json (written by train()) serializes every attribute;
         # real knobs are UPPERCASE, derived helpers are lowercase properties
-        fields = {k: v for k, v in loaded.items() if k.isupper()}
-        base = {"shapes": ShapesConfig, "coco": CocoStyleConfig,
-                None: Config}.get(args.config, Config)
-        cfg_cls = type("LoadedConfig", (base,), fields)
-        return cfg_cls()
-    base = {"shapes": ShapesConfig, "coco": CocoStyleConfig}[args.config]
-    overrides = {}
-    if args.labels:
+        fields.update({k: v for k, v in loaded.items() if k.isupper()})
+    if args.labels:  # applies on top of --config-json too
         labels = args.labels.split(",")
-        overrides["LABELS"] = labels
-        overrides["NUM_CLASSES"] = len(labels)
-    if overrides:
-        return type("RunConfig", (base,), overrides)()
+        fields["LABELS"] = labels
+        fields["NUM_CLASSES"] = len(labels)
+    if fields:
+        return type("RunConfig", (base,), fields)()
     return base()
 
 
@@ -62,6 +59,18 @@ def iter_image_paths(specs):
                     yield os.path.join(spec, name)
         else:
             yield spec
+
+
+def assign_image_ids(paths):
+    """COCO image_id per path: the numeric filename stem when stems are
+    globally unambiguous (so results line up with annotation files that use
+    numeric ids), else the path itself — '7.png' vs '007.png' or the same
+    stem in two input directories must not merge into one id."""
+    ids = []
+    for p in paths:
+        stem = os.path.splitext(os.path.basename(p))[0]
+        ids.append(int(stem) if stem.isdigit() else stem)
+    return ids if len(set(ids)) == len(ids) else list(paths)
 
 
 def main():
@@ -87,6 +96,11 @@ def main():
     ap.add_argument("--overlays", type=int, default=0,
                     help="save overlay PNGs for the first N images")
     ap.add_argument("--overlay-dir", default="./img_results")
+    ap.add_argument("--coco-categories", default=None,
+                    help="COCO annotation JSON whose categories define the "
+                         "category_id mapping — REQUIRED for scoring against "
+                         "real COCO annotations (non-contiguous ids); "
+                         "omit for datasets written by dataset_to_coco_json")
     args = ap.parse_args()
     if not (args.config or args.config_json):
         ap.error("one of --config / --config-json is required")
@@ -94,15 +108,19 @@ def main():
     import numpy as np
 
     from mask_yolo_tpu import MaskYOLO
-    from mask_yolo_tpu.data.coco import detections_to_coco_results
+    from mask_yolo_tpu.data.coco import (coco_category_map,
+                                         detections_to_coco_results)
     from mask_yolo_tpu.utils.image import resize_image
 
     config = build_config(args)
     net_h, net_w = config.IMAGE_SHAPE[:2]
+    category_map = (coco_category_map(args.coco_categories)
+                    if args.coco_categories else None)
 
     paths = list(iter_image_paths(args.images))
     if not paths:
         raise SystemExit("no images found")
+    image_ids = assign_image_ids(paths)
 
     from PIL import Image
 
@@ -114,15 +132,14 @@ def main():
         resized, scale = resize_image(img, (net_h, net_w))
         return img, resized.astype(np.float32) / 255.0, scale
 
-    if args.quantize:
-        calib = np.stack([load(p)[1] for p in paths[:args.batch_size]])
-        model.quantize(calib, finetune_steps=args.qat_steps)
-
     results = []
     n_batches = (len(paths) + args.batch_size - 1) // args.batch_size
     for b in range(n_batches):
         chunk = paths[b * args.batch_size:(b + 1) * args.batch_size]
         loaded = [load(p) for p in chunk]
+        if b == 0 and args.quantize:  # calibrate on the already-loaded batch
+            model.quantize(np.stack([l[1] for l in loaded]),
+                           finetune_steps=args.qat_steps)
         batch = np.stack([l[1] for l in loaded])
         if len(chunk) < args.batch_size:  # pad: keep one compiled program
             batch = np.concatenate([batch, np.zeros(
@@ -132,15 +149,13 @@ def main():
         for bi, (orig, _, scale) in enumerate(loaded):
             keep = out["valid"][bi] & (out["scores"][bi] >= args.score_threshold)
             idx = np.where(keep)[0]
-            image_id = os.path.splitext(os.path.basename(chunk[bi]))[0]
-            image_id = int(image_id) if image_id.isdigit() else image_id
             results.extend(detections_to_coco_results(
-                image_id,
+                image_ids[b * args.batch_size + bi],
                 out["boxes"][bi][idx],
                 out["classes"][bi][idx],
                 out["scores"][bi][idx],
                 np.transpose(out["masks"][bi][idx], (1, 2, 0)),
-                scale=scale))
+                scale=scale, category_map=category_map))
             n_done = b * args.batch_size + bi
             if n_done < args.overlays:
                 from mask_yolo_tpu.utils import visualize
@@ -155,7 +170,8 @@ def main():
                     out["classes"][bi][idx], labels, out["scores"][bi][idx],
                     save_path=os.path.join(
                         args.overlay_dir,
-                        f"predict-{os.path.basename(chunk[bi])}.png"))
+                        "predict-" + os.path.splitext(
+                            os.path.basename(chunk[bi]))[0] + ".png"))
         print(f"batch {b + 1}/{n_batches} done", flush=True)
 
     with open(args.out, "w") as f:
