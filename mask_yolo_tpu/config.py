@@ -105,6 +105,11 @@ class Config:
     LR_SCHEDULE = "constant"
     LR_WARMUP_STEPS = 0
     LR_FINAL_FRACTION = 0.02
+    # Explicit cosine horizon in optimizer steps; 0 = derive from the
+    # train() call (epochs × steps/epoch). Set this when training runs in
+    # several resumed processes (e.g. segmented training around a leaky
+    # host) so every segment decays against the SAME horizon.
+    LR_TOTAL_STEPS = 0
     WEIGHT_DECAY = 0.0001
     LOSS_WEIGHTS = {"yolo_sum_loss": 1.0, "myolo_mask_loss": 1.0}
     TRAIN_BN = False

@@ -9,6 +9,8 @@ the reference never published.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .data.loader import load_image_gt
@@ -146,6 +148,16 @@ def make_ap_eval_callback(eval_dataset, config, every: int = 5,
         raise ValueError(f"track={track!r} not one of {_tracks}")
 
     state_holder = {"infer": None, "best": -1.0}
+    # the best-so-far value persists next to the weights so segmented runs
+    # (several resumed processes) don't let a weaker later epoch overwrite
+    # an earlier best checkpoint
+    best_sidecar = (best_weights_path + ".best.json"
+                    if best_weights_path else None)
+    if best_sidecar and os.path.exists(best_sidecar):
+        import json as _json
+
+        with open(best_sidecar) as f:
+            state_holder["best"] = float(_json.load(f).get(track, -1.0))
 
     def cb(epoch, train_metrics, val_loss, state):
         # `epoch` is 0-based (train() invokes callbacks after epoch+1 epochs
@@ -183,7 +195,10 @@ def make_ap_eval_callback(eval_dataset, config, every: int = 5,
             cb.best = state_holder["best"]
             if best_weights_path:
                 infer.save_weights(best_weights_path)
+                with open(best_sidecar, "w") as f:
+                    _json.dump({track: state_holder["best"],
+                                "epoch": int(epoch) + 1}, f)
 
     cb.history = []
-    cb.best = -1.0
+    cb.best = state_holder["best"]
     return cb

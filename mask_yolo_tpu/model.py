@@ -178,7 +178,7 @@ class MaskYOLO:
     def train(self, train_dataset, val_dataset, learning_rate, epochs,
               layers="all", augmentation=None, custom_callbacks=None,
               no_augmentation_sources=None, verbose=True, profile_dir=None,
-              resume_from=None):
+              resume_from=None, stop_after_epoch=None):
         """Train. Same signature as the reference (model.py:943).
 
         custom_callbacks: list of callables invoked as
@@ -190,6 +190,13 @@ class MaskYOLO:
         restores params, BN stats, optimizer moments AND the epoch counter,
         then continues to `epochs` (the resume the reference left manual —
         initial_epoch commented out at model.py:1050).
+        stop_after_epoch: return cleanly once this epoch completes (its
+        checkpoint is already on disk) while schedules/targets still see the
+        full `epochs` horizon — the building block for segmented training:
+        run a bounded slice per process, resume_from the newest checkpoint in
+        a fresh process. Needed e.g. on hosts whose device-transfer layer
+        leaks per upload (this sandbox's RPC tunnel retains every uploaded
+        buffer — docs/PERFORMANCE.md "host memory" note).
         """
         layer_regex = {"all": ".*"}.get(layers, layers)
 
@@ -290,6 +297,11 @@ class MaskYOLO:
                                     **metrics}) + "\n")
             for cb in custom_callbacks or ():
                 cb(epoch, metrics, val_loss, state)
+            if stop_after_epoch is not None and epoch + 1 >= stop_after_epoch:
+                if verbose:
+                    print(f"Stopping after epoch {epoch + 1} "
+                          f"(stop_after_epoch; target {epochs})")
+                break
 
         self.params = jax.device_get(state.params)
         self.batch_stats = jax.device_get(state.batch_stats)

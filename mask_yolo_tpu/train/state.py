@@ -110,6 +110,9 @@ def make_lr_schedule(learning_rate: float, config, total_steps: int = 0):
     if kind != "cosine":
         raise ValueError(f"unknown LR_SCHEDULE {kind!r} "
                          "(expected 'constant' or 'cosine')")
+    # explicit horizon wins — keeps the decay consistent across the resumed
+    # processes of a segmented run, where each call's epochs differ
+    total_steps = int(getattr(config, "LR_TOTAL_STEPS", 0) or 0) or total_steps
     if total_steps <= 0:
         raise ValueError("LR_SCHEDULE='cosine' needs total_steps > 0 "
                          "(train() passes epochs * steps_per_epoch)")

@@ -348,3 +348,47 @@ def test_resume_across_schedule_kinds_resets_optimizer(tmp_path):
                          verbose=False, resume_from=str(ckpt))
     assert any("optimizer moments RESET" in str(x.message) for x in w)
     assert int(state.step) == 2  # epoch 1 restored + 1 more epoch x 1 step
+
+
+def test_lr_total_steps_overrides_horizon():
+    """Config.LR_TOTAL_STEPS pins the cosine horizon regardless of the
+    per-call total_steps — what keeps segmented runs on one schedule."""
+    from conftest import TinyConfig
+
+    class Cfg(TinyConfig):
+        LR_SCHEDULE = "cosine"
+        LR_FINAL_FRACTION = 0.1
+        LR_TOTAL_STEPS = 100
+
+    sched = state_lib.make_lr_schedule(1e-3, Cfg(), total_steps=10)
+    assert np.isclose(float(sched(100)), 1e-4)   # floor at the pinned horizon
+    assert float(sched(10)) > 5e-4               # nowhere near floor at 10
+
+
+def test_stop_after_epoch(tmp_path):
+    """train(stop_after_epoch=k) checkpoints and returns after epoch k while
+    the schedule horizon still reflects the full `epochs`."""
+    from mask_yolo_tpu import MaskYOLO
+    from conftest import TinyConfig
+
+    class Cfg(TinyConfig):
+        NUM_CLASSES = 4
+        LABELS = ["background", "square", "circle", "triangle"]
+        BATCH_SIZE = 4
+        VALIDATION_STEPS = 1
+
+    cfg = Cfg()
+    tr = ShapesDataset(); tr.load_shapes(4, 64, 64, seed=0); tr.prepare()
+    va = ShapesDataset(); va.load_shapes(4, 64, 64, seed=1); va.prepare()
+    m = MaskYOLO(mode="training", config=cfg, model_dir=str(tmp_path))
+    state = m.train(tr, va, learning_rate=1e-3, epochs=10, layers="all",
+                    verbose=False, stop_after_epoch=2)
+    assert int(state.step) == 2      # 2 epochs x 1 step, not 10
+    assert m.epoch == 2
+    ckpts = sorted(tmp_path.glob("saved_model_*"))
+    assert ckpts and str(ckpts[-1]).endswith("_e0002")
+    # resume the remaining epochs in a "new process" (fresh model object)
+    m2 = MaskYOLO(mode="training", config=cfg, model_dir=str(tmp_path))
+    state2 = m2.train(tr, va, learning_rate=1e-3, epochs=4, layers="all",
+                      verbose=False, resume_from=str(ckpts[-1]))
+    assert int(state2.step) == 4

@@ -50,6 +50,57 @@ def _make_coco_copy(out_dir, count, seed, num_classes):
     return d
 
 
+def _newest_checkpoint(ckpt_dir):
+    import glob
+
+    ckpts = sorted(glob.glob(os.path.join(ckpt_dir, "saved_model_*")),
+                   key=lambda p: p.rsplit("_e", 1)[-1])
+    return ckpts[-1] if ckpts else None
+
+
+def _resume_epoch(path):
+    return int(path.rsplit("_e", 1)[-1]) if path else 0
+
+
+def run_segmented(args):
+    """Supervisor: run training as child processes of --segment-epochs epochs
+    each, chained by --resume-from, so per-process host RSS stays bounded on
+    runners whose device-transfer layer leaks every uploaded buffer (measured
+    on this sandbox's TPU RPC tunnel: rss grows by ~the payload per step —
+    a 30k-step 416² run OOM-killed a 128 GB host at epoch 20). The cosine
+    horizon stays the full run because each child still receives --epochs;
+    the final child (reaching --epochs) runs the evaluation."""
+    import subprocess
+    import sys as _sys
+
+    ckpt_dir = os.path.join(args.out, "ckpt")
+    resume = args.resume_from or _newest_checkpoint(ckpt_dir)
+    done = _resume_epoch(resume)
+    base = [a for a in _sys.argv[1:]]
+    # strip supervisor-only / per-segment args from the child command line
+    for flag in ("--segment-epochs", "--stop-after-epoch", "--resume-from"):
+        while flag in base:
+            i = base.index(flag)
+            del base[i:i + 2]
+    while done < args.epochs:
+        stop = min(done + args.segment_epochs, args.epochs)
+        cmd = [_sys.executable, os.path.abspath(__file__), *base,
+               "--stop-after-epoch", str(stop)]
+        if resume:
+            cmd += ["--resume-from", resume]
+        print(f"[segment] epochs {done + 1}..{stop} of {args.epochs}"
+              + (f" (resume {os.path.basename(resume)})" if resume else ""),
+              flush=True)
+        subprocess.run(cmd, check=True)
+        resume = _newest_checkpoint(ckpt_dir)
+        new_done = _resume_epoch(resume)
+        if new_done <= done:
+            raise RuntimeError(
+                f"segment made no progress (epoch {done} -> {new_done})")
+        done = new_done
+    print("[segment] all segments complete", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--train-images", type=int, default=300)
@@ -88,7 +139,20 @@ def main():
                     help="evaluate pooled AP on the eval set every N epochs "
                          "during training (make_ap_eval_callback); tracks "
                          "the best box_ap50 checkpoint")
+    ap.add_argument("--segment-epochs", type=int, default=0,
+                    help="run training as a chain of child processes of at "
+                         "most N epochs each, resuming from the newest "
+                         "checkpoint between them — bounds host RSS on "
+                         "runners whose device-transfer layer leaks per "
+                         "upload (this sandbox's RPC tunnel)")
+    ap.add_argument("--stop-after-epoch", type=int, default=0,
+                    help="(internal/manual) stop this process's training "
+                         "after epoch N; schedules still see --epochs")
     args = ap.parse_args()
+
+    if args.segment_epochs and not args.stop_after_epoch:
+        run_segmented(args)
+        return
 
     from mask_yolo_tpu import MaskYOLO, evaluate_dataset
     from mask_yolo_tpu.config import CocoStyleConfig
@@ -135,8 +199,14 @@ def main():
     t0 = time.perf_counter()
     model.train(train_ds, val_ds, learning_rate=args.lr, epochs=args.epochs,
                 layers="all", resume_from=args.resume_from,
-                custom_callbacks=callbacks)
+                custom_callbacks=callbacks,
+                stop_after_epoch=args.stop_after_epoch or None)
     train_s = time.perf_counter() - t0
+    if args.stop_after_epoch and args.stop_after_epoch < args.epochs:
+        print(f"segment up to epoch {args.stop_after_epoch} done in "
+              f"{train_s:.0f}s (of {args.epochs}); checkpoint on disk",
+              flush=True)
+        return
     weights = os.path.join(args.out, "weights")
     model.save_weights(weights)
     print(f"trained {args.epochs} epochs in {train_s:.0f}s", flush=True)
