@@ -83,6 +83,10 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--paths", default="int8,fused_ds,pallas_mask")
     ap.add_argument("--k-block", type=int, default=16)
+    ap.add_argument("--backbone", default=None,
+                    choices=["mobilenet", "resnet50_fpn"],
+                    help="override CocoStyleConfig.BACKBONE (resnet50_fpn = "
+                         "hybrid int8: int8 trunk convs, f32 FPN lateral sums)")
     args = ap.parse_args()
 
     from mask_yolo_tpu.config import CocoStyleConfig
@@ -90,6 +94,8 @@ def main():
     from mask_yolo_tpu.quant import QuantizedDetector
 
     cfg = CocoStyleConfig()
+    if args.backbone:
+        cfg.BACKBONE = args.backbone
     net = MaskYoloNet(num_classes=cfg.NUM_CLASSES, n_box=cfg.N_BOX,
                       top_feature_map_depth=cfg.TOP_FEATURE_MAP_DEPTH,
                       mask_pool_size=cfg.MASK_POOL_SIZE, backbone=cfg.BACKBONE,
@@ -144,7 +150,8 @@ def main():
             try:
                 ips = bench(call, cfg, args.batch)
                 print(json.dumps({"path": path, "img_per_s": round(ips, 1),
-                                  "batch": args.batch}), flush=True)
+                                  "batch": args.batch,
+                                  "backbone": cfg.BACKBONE}), flush=True)
             except Exception as e:
                 print(json.dumps({"path": path,
                                   "error": f"{type(e).__name__}: {e}"}),
@@ -166,7 +173,8 @@ def main():
         try:
             ips = bench(call, cfg, args.batch)
             print(json.dumps({"path": path, "img_per_s": round(ips, 1),
-                              "batch": args.batch}), flush=True)
+                              "batch": args.batch,
+                              "backbone": cfg.BACKBONE}), flush=True)
         except Exception as e:
             print(json.dumps({"path": path,
                               "error": f"{type(e).__name__}: {e}"}),

@@ -121,6 +121,12 @@ def main():
                     help="override Config.BACKBONE (resnet50_fpn = the "
                          "reference README's stated scale-up path, "
                          "/root/reference/README.md:5)")
+    ap.add_argument("--augment", action="store_true",
+                    help="per-epoch geometric + photometric train-time "
+                         "augmentation (data/augment.default_augmenter)")
+    ap.add_argument("--augment-flip-only", action="store_true",
+                    help="flip-only augmentation (lighter; the Shapes "
+                         "quality tool's round-1 recipe)")
     ap.add_argument("--skip-int8", action="store_true")
     ap.add_argument("--int8-per-channel", action="store_true",
                     help="QUANT_PER_CHANNEL_ACT for the int8 eval (the best "
@@ -194,11 +200,21 @@ def main():
             best_weights_path=os.path.join(args.out, "best_weights"))
         callbacks = [ap_cb]
 
+    augmentation = None
+    if args.augment_flip_only:
+        from mask_yolo_tpu.data import augment as _augment
+        augmentation = _augment.Sequential([_augment.Fliplr(0.5)],
+                                           seed=args.seed + 7)
+    elif args.augment:
+        from mask_yolo_tpu.data.augment import default_augmenter
+        augmentation = default_augmenter(seed=args.seed + 7)
+
     model = MaskYOLO(mode="training", config=config,
                      model_dir=os.path.join(args.out, "ckpt"), seed=args.seed)
     t0 = time.perf_counter()
     model.train(train_ds, val_ds, learning_rate=args.lr, epochs=args.epochs,
-                layers="all", resume_from=args.resume_from,
+                layers="all", augmentation=augmentation,
+                resume_from=args.resume_from,
                 custom_callbacks=callbacks,
                 stop_after_epoch=args.stop_after_epoch or None)
     train_s = time.perf_counter() - t0
