@@ -11,9 +11,10 @@ pipeline (decode, NMS, top-K, ROIAlign, mask paste) runs on-chip.
 
 from .config import Config
 from .evaluate import evaluate_dataset, make_ap_eval_callback
+from .export import ExportedDetector
 from .model import MaskYOLO
 
-__all__ = ["Config", "MaskYOLO", "evaluate_dataset",
+__all__ = ["Config", "MaskYOLO", "ExportedDetector", "evaluate_dataset",
            "make_ap_eval_callback"]
 
 __version__ = "0.1.0"

@@ -373,6 +373,30 @@ class MaskYOLO:
                 f"{report['shape_mismatch']}", stacklevel=2)
         return report
 
+    def export_model(self, path, batch_size=None, input_dtype="uint8",
+                     platforms=None):
+        """AOT-export the detect pipeline (weights baked in) to a portable
+        StableHLO artifact at `path` — the deployment format a serving
+        process loads with `export.ExportedDetector.load(path)` needing only
+        jax, no model code. batch_size=None exports a symbolic batch
+        dimension (one artifact, any B). After quantize(), the active int8
+        pipeline is what gets exported (consistent with detect/detect_batch
+        serving int8 then). Returns the artifact header dict.
+        See export.py for the format and rationale."""
+        from . import export as export_lib
+
+        if self._qdet is not None:
+            exported, header = export_lib.export_detect_fn(
+                self._qdet.detect_fn(), self.config, batch_size=batch_size,
+                input_dtype=input_dtype, platforms=platforms,
+                compute_path="int8")
+        else:
+            exported, header = export_lib.export_detect(
+                self.net, self.variables, self.config, batch_size=batch_size,
+                input_dtype=input_dtype, platforms=platforms)
+        export_lib.save_exported(exported, header, path)
+        return header
+
     # -- inference -------------------------------------------------------------
 
     def _invalidate_infer_fns(self):

@@ -862,6 +862,22 @@ class QuantizedDetector:
         are inserted. Batch must divide by the data-axis size."""
         if use_pallas is None:
             use_pallas = False
+        detect_fn = self.detect_fn(use_pallas=use_pallas, interpret=interpret)
+        if mesh is not None:
+            from .parallel.mesh import batch_sharding, place_batch_array
+
+            # keep uint8 batches uint8: the on-device images_f32 handles the
+            # /255 (a float32 cast here would skip it and feed 0..255 floats)
+            images = np.asarray(images)
+            if images.dtype != np.uint8:
+                images = images.astype(np.float32, copy=False)
+            images = place_batch_array(images, batch_sharding(mesh))
+        return detect_fn(images)
+
+    def detect_fn(self, use_pallas: bool = False, interpret: bool = False):
+        """The jitted images→outputs callable (int8 weights baked in as jit
+        constants) — also what export.py AOT-serializes for int8 serving
+        artifacts. Cached per use_pallas flavor."""
         if self._detect is None or use_pallas != self._detect_is_pallas:
             from . import pipelines
 
@@ -886,13 +902,4 @@ class QuantizedDetector:
 
             self._detect = detect
             self._detect_is_pallas = use_pallas
-        if mesh is not None:
-            from .parallel.mesh import batch_sharding, place_batch_array
-
-            # keep uint8 batches uint8: the on-device images_f32 handles the
-            # /255 (a float32 cast here would skip it and feed 0..255 floats)
-            images = np.asarray(images)
-            if images.dtype != np.uint8:
-                images = images.astype(np.float32, copy=False)
-            images = place_batch_array(images, batch_sharding(mesh))
-        return self._detect(images)
+        return self._detect

@@ -2,9 +2,12 @@
 """Launch the dynamic-batching inference server over a trained checkpoint.
 
   python tools/serve_model.py --weights ./weights [--quantize] [--port 8000]
+  python tools/serve_model.py --artifact m.mytpu   # StableHLO export, no
+                                                   # model code or checkpoint
 
 POST /detect with an .npy-serialized uint8 [H, W, 3] image; JSON response.
-See mask_yolo_tpu/serve.py for the batching design.
+See mask_yolo_tpu/serve.py for the batching design and
+mask_yolo_tpu/export.py for the artifact format.
 """
 
 from __future__ import annotations
@@ -19,11 +22,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--weights", required=True)
+    ap.add_argument("--weights", default=None,
+                    help="orbax checkpoint dir (or use --artifact)")
+    ap.add_argument("--artifact", default=None,
+                    help="serve a StableHLO export (tools/export_model.py) "
+                         "instead of a checkpoint")
     ap.add_argument("--config", default="shapes",
                     choices=["shapes", "coco416"],
                     help="operating point (Config subclass)")
-    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="static serving batch (default 8, or the "
+                         "artifact's pinned batch)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--quantize", action="store_true",
@@ -39,18 +48,30 @@ def main():
     from mask_yolo_tpu.data.shapes import ShapesConfig
     from mask_yolo_tpu.serve import BatchingExecutor, InferenceServer
 
-    base = {"shapes": ShapesConfig, "coco416": CocoStyleConfig}[args.config]
+    if bool(args.weights) == bool(args.artifact):
+        ap.error("exactly one of --weights / --artifact is required")
 
-    class ServeConfig(base):
-        BATCH_SIZE = args.batch_size
+    if args.artifact:
+        from mask_yolo_tpu.export import ExportedDetector
 
-    cfg = ServeConfig()
-    model = MaskYOLO(mode="inference", config=cfg)
-    model.load_weights(args.weights)
-    if args.quantize:
-        calib = np.random.RandomState(0).rand(
-            4, *cfg.IMAGE_SHAPE).astype(np.float32)
-        model.quantize(calib)
+        if args.quantize:
+            ap.error("--quantize applies at export time, not to an artifact")
+        model = ExportedDetector.load(args.artifact)
+        cfg = model.serve_config(batch_size=args.batch_size)
+    else:
+        base = {"shapes": ShapesConfig,
+                "coco416": CocoStyleConfig}[args.config]
+
+        class ServeConfig(base):
+            BATCH_SIZE = args.batch_size or 8
+
+        cfg = ServeConfig()
+        model = MaskYOLO(mode="inference", config=cfg)
+        model.load_weights(args.weights)
+        if args.quantize:
+            calib = np.random.RandomState(0).rand(
+                4, *cfg.IMAGE_SHAPE).astype(np.float32)
+            model.quantize(calib)
     ex = BatchingExecutor(model, cfg, batch_size=cfg.BATCH_SIZE,
                           max_delay_s=args.max_delay_ms / 1e3,
                           score_threshold=args.score_threshold)
