@@ -207,6 +207,78 @@ class Sequential(Augmenter):
         return self.apply(image, mask, rng if rng is not None else self.rng)
 
 
+class ImgaugAdapter(Augmenter):
+    """Compatibility shim for imgaug augmenters (the reference's
+    `train(augmentation=)` contract, myolo_utils.py:306-343): a migrating
+    user's imgaug pipeline plugs in unchanged.
+
+    Duck-typed — anything with `augment_image` (and optionally
+    `to_deterministic`) works; imgaug itself need not be importable. Per
+    image, one transform is frozen via `to_deterministic()` and applied to
+    the image AND, through the reference's MASK_AUGMENTERS geometric
+    whitelist (enforced with `imgaug.HooksImages` when imgaug is present,
+    exactly like myolo_utils.py:315-332), to each mask channel. Shape
+    preservation is asserted like the reference (myolo_utils.py:335-338)."""
+
+    affects_mask = True
+
+    #: reference myolo_utils.py:315-321 — augmenters safe to apply to masks
+    MASK_AUGMENTERS = ("Sequential", "SomeOf", "OneOf", "Sometimes",
+                       "Fliplr", "Flipud", "CropAndPad", "Affine",
+                       "PiecewiseAffine")
+
+    def __init__(self, augmenter):
+        if not hasattr(augmenter, "augment_image"):
+            raise TypeError(
+                f"{type(augmenter).__name__} has no augment_image — not an "
+                "imgaug-style augmenter")
+        self.augmenter = augmenter
+
+    @classmethod
+    def _activator(cls, images, augmenter, parents, default):
+        return augmenter.__class__.__name__ in cls.MASK_AUGMENTERS
+
+    def apply(self, image, mask, rng):
+        det = (self.augmenter.to_deterministic()
+               if hasattr(self.augmenter, "to_deterministic")
+               else self.augmenter)
+        image_shape, mask_shape = image.shape, mask.shape
+        image = det.augment_image(image)
+        hooks = None
+        try:
+            import imgaug
+
+            hooks = imgaug.HooksImages(activator=self._activator)
+        except ImportError:
+            pass  # duck-typed augmenter: no whitelist machinery to drive
+        mask_u8 = mask.astype(np.uint8)
+        mask = (det.augment_image(mask_u8, hooks=hooks) if hooks is not None
+                else det.augment_image(mask_u8))
+        if image.shape != image_shape or mask.shape != mask_shape:
+            raise ValueError(
+                "imgaug augmentation changed the image/mask shape — use "
+                "shape-preserving augmenters (reference myolo_utils.py:335-338)")
+        return image, mask.astype(bool)
+
+
+def as_augmenter(augmentation):
+    """Normalize any accepted `augmentation=` value to a (image, mask) ->
+    (image, mask) callable: native Augmenters and bare callables pass
+    through; imgaug-style objects (duck-typed on `augment_image`) are
+    wrapped in ImgaugAdapter."""
+    if augmentation is None or isinstance(augmentation, Augmenter):
+        return augmentation
+    # check augment_image BEFORE callable: modern imgaug augmenters are
+    # themselves callable (aug(images=...)), but not with (image, mask)
+    if hasattr(augmentation, "augment_image"):
+        return ImgaugAdapter(augmentation)
+    if callable(augmentation):
+        return augmentation
+    raise TypeError(
+        f"augmentation={type(augmentation).__name__!r} is neither callable "
+        "nor an imgaug-style augmenter (no augment_image)")
+
+
 def default_augmenter(seed: int | None = 0) -> Sequential:
     """The flip/rot90/scale/brightness set named by the round-1 review:
     a reasonable default for small datasets (it produced the +0.06 AP50

@@ -18,7 +18,15 @@ that operating point:
   * scenes carry up to `max_instances` small shapes (default 48, well past
     CocoStyleConfig.MASK_TOP_K = 32, stressing the masks-for-top-K path);
   * same deterministic seeding, occlusion painting and GT-overlap pruning as
-    the base Shapes generator.
+    the base Shapes generator;
+  * optional PHOTOGRAPHIC-COMPLEXITY mode (`load_dense(textured=True)`,
+    r4): per-instance multiplicative noise + luminance-gradient texture,
+    smooth non-uniform backgrounds, non-GT distractor clutter, and a global
+    lighting gradient — so class evidence is an *average* color that must be
+    integrated over a textured, unevenly lit region instead of a flat fill.
+    This is the closest feasible stand-in for the reference's photographic
+    validation (its rice/food image blobs are missing from its repo,
+    /root/reference/datasets/.MISSING_LARGE_BLOBS; README.md:24-34).
 """
 
 from __future__ import annotations
@@ -62,7 +70,7 @@ class DenseShapesDataset(ShapesDataset):
 
     def load_dense(self, count, height=416, width=416, seed: int | None = 0,
                    num_classes: int = 80, min_instances: int = 24,
-                   max_instances: int = 48):
+                   max_instances: int = 48, textured: bool = False):
         self._num_fg = int(num_classes)
         self._palette = color_palette(self._num_fg)
         rng = np.random.RandomState(seed) if seed is not None else np.random
@@ -71,15 +79,16 @@ class DenseShapesDataset(ShapesDataset):
         for i in range(count):
             bg_color, shapes = self._random_dense_image(
                 height, width, rng, min_instances, max_instances)
-            self.add_image(
-                "dense_shapes",
-                image_id=i,
-                path=None,
-                width=width,
-                height=height,
-                bg_color=bg_color,
-                shapes=shapes,
-            )
+            info = dict(width=width, height=height, bg_color=bg_color,
+                        shapes=shapes)
+            if textured:
+                # per-image texture seed derived OUTSIDE the spec stream, so
+                # textured=True yields the exact same scene geometry (masks,
+                # boxes, classes) as textured=False for the same seed
+                info["texture_seed"] = (
+                    ((0 if seed is None else int(seed)) * 1_000_003 + i)
+                    % (2 ** 31 - 1))
+            self.add_image("dense_shapes", image_id=i, path=None, **info)
 
     def _random_dense_image(self, height, width, rng, lo, hi):
         # background stays away from palette colors: dark gray-ish noise
@@ -104,6 +113,85 @@ class DenseShapesDataset(ShapesDataset):
         keep = non_max_suppression(np.array(boxes), np.arange(n), 0.5)
         shapes = [s for i, s in enumerate(shapes) if i in keep]
         return bg_color, shapes
+
+    # -- photographic-complexity rendering (textured=True) -------------------
+
+    @staticmethod
+    def _smooth_field(rng, height, width, cells: int, lo: float, hi: float):
+        """[H, W] smooth random field in [lo, hi]: a coarse random grid
+        bilinearly upsampled — cheap stand-in for low-frequency texture."""
+        from ..utils.image import resize_bilinear
+
+        coarse = rng.rand(cells, cells).astype(np.float32)
+        field = resize_bilinear(coarse, (height, width))
+        return lo + field * (hi - lo)
+
+    @staticmethod
+    def _gradient_field(rng, height, width, amp: float):
+        """[H, W] linear ramp in [-amp, amp] along a random direction."""
+        th = rng.rand() * 2 * np.pi
+        yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
+        r = (np.cos(th) * xx / max(width - 1, 1)
+             + np.sin(th) * yy / max(height - 1, 1))
+        r = r - r.mean()
+        return (2.0 * amp) * r / max(r.max() - r.min(), 1e-6)
+
+    def _textured_image(self, info):
+        """Render with per-instance texture, background clutter, and a global
+        lighting gradient. GT geometry (masks/boxes/classes) is EXACTLY the
+        flat renderer's — only pixel appearance changes, so the encoder,
+        eval, and COCO export paths are untouched."""
+        rng = np.random.RandomState(info["texture_seed"])
+        h, w = info["height"], info["width"]
+
+        # background: smooth low-frequency field around bg_color (±20)
+        bg = np.asarray(info["bg_color"], np.float32).reshape(1, 1, 3)
+        img = np.repeat(bg, h, axis=0).repeat(w, axis=1).copy()
+        for c in range(3):
+            img[:, :, c] += self._smooth_field(rng, h, w, 8, -20.0, 20.0)
+
+        # distractor clutter: gray-ish non-GT shapes the detector must learn
+        # to ignore (they are never added to `shapes`, so they carry no box)
+        for _ in range(int(rng.randint(4, 9))):
+            g = float(rng.randint(70, 200))
+            col = np.clip([g + rng.randint(-14, 15) for _ in range(3)],
+                          0, 255)
+            s = int(rng.randint(max(4, h // 42), max(8, h // 12)))
+            y = int(rng.randint(s, h - s))
+            x = int(rng.randint(s, w - s))
+            shape = self.SHAPE_NAMES[rng.randint(0, len(self.SHAPE_NAMES))]
+            stencil = np.zeros([h, w, 1], np.uint8)
+            self.draw_shape(stencil, shape, (x, y, s), 1)
+            on = stencil[:, :, 0].astype(bool)
+            img[on] = np.asarray(col, np.float32)
+
+        # instances, back-to-front like the flat renderer (later occludes
+        # earlier), each with multiplicative noise + a luminance gradient
+        for shape, color, dims in info["shapes"]:
+            stencil = np.zeros([h, w, 1], np.uint8)
+            self.draw_shape(stencil, shape, dims, 1)
+            on = stencil[:, :, 0].astype(bool)
+            # texture cells scale with the image so instances (~h/12 px) see
+            # several texture periods — the field must vary WITHIN instances
+            tex = self._smooth_field(rng, h, w, max(12, h // 14), 0.85, 1.15)
+            tex = tex + self._gradient_field(rng, h, w, 0.12)
+            fill = (np.asarray(color, np.float32).reshape(1, 1, 3)
+                    * tex[:, :, None])
+            img[on] = fill[on]
+
+        # global lighting: brightness gradient + overall gain
+        gain = (1.0 + self._gradient_field(rng, h, w, 0.13)) \
+            * float(rng.uniform(0.92, 1.08))
+        img *= gain[:, :, None]
+        # sensor-like luminance noise (shared across channels per pixel)
+        img += rng.randn(h, w, 1).astype(np.float32) * 3.0
+        return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+    def load_image(self, image_id):
+        info = self.image_info[image_id]
+        if info.get("texture_seed") is not None:
+            return self._textured_image(info)
+        return super().load_image(image_id)
 
     def load_mask(self, image_id):
         """Same occlusion-aware rasterization as Shapes, but class ids come

@@ -62,8 +62,13 @@ def load_image_gt(dataset, config, image_id, augment=False, augmentation=None,
 
     if augmentation is not None:
         # seeded augmenters (data/augment.py Sequential) own their stream;
-        # bare callables keep the legacy (image, mask) contract
-        image, mask = augmentation(image, mask)
+        # bare callables keep the legacy (image, mask) contract; imgaug-style
+        # augmenters (duck-typed on augment_image) are adapted with the
+        # reference's mask-safety semantics (augment.ImgaugAdapter,
+        # myolo_utils.py:306-343)
+        from .augment import as_augmenter
+
+        image, mask = as_augmenter(augmentation)(image, mask)
 
     # Drop instances whose mask vanished during resize (myolo_utils.py:345-349)
     _idx = np.sum(mask, axis=(0, 1)) > 0

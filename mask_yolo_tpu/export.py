@@ -179,6 +179,13 @@ class ExportedDetector:
             if want == np.uint8 and np.issubdtype(images.dtype, np.floating):
                 # callers holding [0, 1] floats: quantize to the wire dtype
                 images = np.clip(images * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            elif (want == np.float32
+                  and np.issubdtype(images.dtype, np.integer)):
+                # float32-exported artifacts expect pre-normalized [0, 1]
+                # input (pipelines.images_f32 passes floats through); uint8
+                # callers (e.g. the serve wire format) must be normalized
+                # here, not bare-cast, or the graph sees 0-255 values.
+                images = images.astype(np.float32) / 255.0
             else:
                 images = images.astype(want)
         fixed = self.header["batch_size"]

@@ -451,13 +451,23 @@ class MaskYOLO:
                           lr=finetune_lr)
         self._ensure_infer_fns()
         self._detect_fn = lambda variables, images: qdet.detect_outputs(images)
+        # detection-only inference serves the same int8 trunk: at 416²/81
+        # classes the bf16 flax trunk was the dominant infer_yolo cost after
+        # the r3 NMS work (docs/PERFORMANCE.md "infer_yolo at 416²")
+        self._infer_yolo_fn = (
+            lambda variables, images: qdet.infer_yolo_outputs(images))
         self._qdet = qdet
         return qdet
 
     def infer_yolo(self, image, weights_dir=None, save_path="./img_results/",
                    display=True):
         """Detection-only inference on one uint8 image (reference
-        model.py:1198-1236). Returns a list of BoundBox-like dicts."""
+        model.py:1198-1236). Returns a list of BoundBox objects
+        (utils.host_ops.BoundBox: reference-compatible .xmin/.get_label()/
+        .get_score() surface AND dict access). After quantize() this serves
+        the int8 trunk, like detect."""
+        from .utils.host_ops import BoundBox
+
         assert list(image.shape) == list(self.config.IMAGE_SHAPE)
         assert image.dtype == np.uint8
         if weights_dir is not None:
@@ -469,12 +479,11 @@ class MaskYOLO:
         boxes = []
         for i in np.where(out["valid"][0])[0]:
             x1, y1, x2, y2 = out["boxes"][0, i]
-            boxes.append({
-                "xmin": float(x1), "ymin": float(y1),
-                "xmax": float(x2), "ymax": float(y2),
-                "score": float(out["scores"][0, i]),
-                "label": int(out["classes"][0, i]),
-            })
+            boxes.append(BoundBox(
+                xmin=float(x1), ymin=float(y1),
+                xmax=float(x2), ymax=float(y2),
+                score=float(out["scores"][0, i]),
+                label=int(out["classes"][0, i])))
         if display:
             from .utils import visualize
             os.makedirs(save_path, exist_ok=True)

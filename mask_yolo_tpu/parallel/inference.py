@@ -49,9 +49,24 @@ class ShardedDetector:
 
         from .. import pipelines
 
-        @jax.jit
-        def detect(variables, images):
-            return pipelines.detect_outputs(net, variables, images, config)
+        if mesh.shape.get("model", 1) > 1:
+            # TP: GSPMD partitions the trunk's wide kernels and inserts the
+            # Megatron-style collectives itself
+            @jax.jit
+            def detect(variables, images):
+                return pipelines.detect_outputs(net, variables, images, config)
+        else:
+            # Pure DP: the pipeline is per-image independent, so run each
+            # device's batch slice as a MANUAL shard (shard_map) — zero
+            # cross-device collectives BY CONSTRUCTION, asserted on the
+            # compiled HLO in tests/test_multichip.py. (Left to GSPMD, the
+            # TopK custom call does not partition over the batch axis and
+            # XLA inserts a batch all-gather at detect's score top-K.)
+            from jax.sharding import PartitionSpec as P
+
+            detect = jax.jit(jax.shard_map(
+                lambda v, im: pipelines.detect_outputs(net, v, im, config),
+                mesh=mesh, in_specs=(P(), P("data")), out_specs=P("data")))
 
         self._fn = detect
 

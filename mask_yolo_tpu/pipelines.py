@@ -197,8 +197,18 @@ def infer_yolo_outputs(net, variables, images, config):
       classes[B, N]    int32 winning class
       valid  [B, N]    bool (score > OBJ_THRESHOLD)
     """
-    grid, _ = net.apply(variables, images_f32(images), train=False,
-                        method=net.trunk)
+    trunk = lambda imgs: net.apply(variables, imgs, train=False,
+                                   method=net.trunk)
+    return infer_yolo_from_callables(trunk, images, config)
+
+
+def infer_yolo_from_callables(trunk, images, config):
+    """infer_yolo_outputs with a pluggable trunk executor — shared by the
+    flax f32/bf16 path above and the int8 quantized path
+    (quant.QuantizedDetector.infer_yolo_fn), mirroring
+    detect_from_callables."""
+    grid, _ = trunk(images_f32(images))
+    grid = grid.astype(jnp.float32)
     boxes = decode_yolo_proposals(grid, config.anchors_wh,
                                   config.GRID_H, config.GRID_W)
     b = grid.shape[0]

@@ -681,6 +681,8 @@ class QuantizedDetector:
         self._flax_trunk = flax_trunk
         self._detect = None
         self._detect_is_pallas = None
+        self._detect_sharded = None
+        self._infer_yolo = None
 
     @classmethod
     def from_variables(cls, variables, config, calib_images, net=None):
@@ -827,6 +829,8 @@ class QuantizedDetector:
                                           np.float32)
                                - np.asarray(l.bias, np.float32))
         self._detect = None  # re-jit with the tuned constants
+        self._detect_sharded = None
+        self._infer_yolo = None
         return {"loss_initial": loss0, "loss_final": loss}
 
     def trunk(self, images, quant: bool = True, fused_ds: bool | None = None,
@@ -872,7 +876,43 @@ class QuantizedDetector:
             if images.dtype != np.uint8:
                 images = images.astype(np.float32, copy=False)
             images = place_batch_array(images, batch_sharding(mesh))
+            if mesh.shape.get("model", 1) <= 1:
+                # pure DP: manual batch sharding (shard_map) — zero
+                # collectives by construction; GSPMD's TopK partitioner
+                # would otherwise all-gather the batch at the score top-K
+                # (same fix as parallel/inference.ShardedDetector)
+                if self._detect_sharded is None:
+                    from jax.sharding import PartitionSpec as P
+
+                    self._detect_sharded = jax.jit(jax.shard_map(
+                        detect_fn, mesh=mesh,
+                        in_specs=P("data"), out_specs=P("data")))
+                return self._detect_sharded(images)
         return detect_fn(images)
+
+    def infer_yolo_outputs(self, images):
+        """Same contract as pipelines.infer_yolo_outputs (detection-only
+        inference, reference model.py:1198-1236), int8 trunk. Decode and the
+        per-class NMS stay f32 on-chip, exactly like detect_outputs."""
+        return self.infer_yolo_fn()(images)
+
+    def infer_yolo_fn(self):
+        """The jitted images→infer_yolo-outputs callable (int8 trunk weights
+        baked in as jit constants) — the detection-only counterpart of
+        detect_fn, so infer_yolo serves the same quantized trunk that detect
+        does after MaskYOLO.quantize()."""
+        if self._infer_yolo is None:
+            from . import pipelines
+
+            config = self.config
+
+            @jax.jit
+            def infer_yolo(images):
+                return pipelines.infer_yolo_from_callables(
+                    self.trunk, images, config)
+
+            self._infer_yolo = infer_yolo
+        return self._infer_yolo
 
     def detect_fn(self, use_pallas: bool = False, interpret: bool = False):
         """The jitted images→outputs callable (int8 weights baked in as jit
@@ -902,4 +942,5 @@ class QuantizedDetector:
 
             self._detect = detect
             self._detect_is_pallas = use_pallas
+            self._detect_sharded = None  # wraps the fn above; rebuild too
         return self._detect

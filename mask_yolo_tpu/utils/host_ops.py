@@ -16,6 +16,52 @@ import numpy as np
 from .image import resize_bilinear
 
 
+class BoundBox(dict):
+    """API-parity box object for infer_yolo results (reference
+    myolo_utils.py:161-185): attribute access (`box.xmin`), the reference's
+    `get_label()`/`get_score()` methods, AND dict access (`box["xmin"]`) —
+    so both migrating reference code and this framework's existing
+    dict-consuming code (visualize.draw_boxes_mpl, tests) work unchanged.
+
+    Construct either reference-style with `classes=` (a per-class score
+    vector; label/score are derived by argmax like the reference's lazy
+    getters) or directly with `score=`/`label=` (the device pipeline already
+    resolved the winning class on-chip)."""
+
+    def __init__(self, xmin, ymin, xmax, ymax, c=None, classes=None,
+                 score=None, label=None):
+        if classes is not None:
+            classes = np.asarray(classes)
+            if label is None:
+                label = int(np.argmax(classes))
+            if score is None:
+                score = float(classes[label])
+        super().__init__(
+            xmin=float(xmin), ymin=float(ymin),
+            xmax=float(xmax), ymax=float(ymax),
+            score=float(score) if score is not None else 0.0,
+            label=int(label) if label is not None else -1)
+        if c is not None:
+            self["c"] = float(c)
+        if classes is not None:
+            self["classes"] = classes
+
+    xmin = property(lambda self: self["xmin"])
+    ymin = property(lambda self: self["ymin"])
+    xmax = property(lambda self: self["xmax"])
+    ymax = property(lambda self: self["ymax"])
+    c = property(lambda self: self.get("c", self["score"]))
+    classes = property(lambda self: self.get("classes"))
+    score = property(lambda self: self["score"])
+    label = property(lambda self: self["label"])
+
+    def get_label(self):
+        return self["label"]
+
+    def get_score(self):
+        return self["score"]
+
+
 def _sigmoid(x):
     return 1.0 / (1.0 + np.exp(-x))
 
@@ -44,7 +90,8 @@ def decode_one_yolo_output(netout, anchors, nb_class, obj_threshold=0.3,
     """Numpy port of the reference host decoder (myolo_utils.py:36-85).
 
     netout: [gh, gw, nb, 5+C] raw grid (modified in place like the reference).
-    Returns a list of dicts {xmin, ymin, xmax, ymax, score, label, classes}.
+    Returns a list of BoundBox (dict-compatible: {xmin, ymin, xmax, ymax,
+    score, label, classes}; reference-compatible: .xmin/.get_label()/...).
     """
     grid_h, grid_w, nb_box = netout.shape[:3]
     netout = np.array(netout, dtype=np.float64)
@@ -63,12 +110,11 @@ def decode_one_yolo_output(netout, anchors, nb_class, obj_threshold=0.3,
                     y = (row + _sigmoid(y)) / grid_h
                     w = anchors[2 * b + 0] * np.exp(w) / grid_w
                     h = anchors[2 * b + 1] * np.exp(h) / grid_h
-                    boxes.append({
-                        "xmin": x - w / 2, "ymin": y - h / 2,
-                        "xmax": x + w / 2, "ymax": y + h / 2,
-                        "c": netout[row, col, b, 4],
-                        "classes": classes.copy(),
-                    })
+                    boxes.append(BoundBox(
+                        xmin=x - w / 2, ymin=y - h / 2,
+                        xmax=x + w / 2, ymax=y + h / 2,
+                        c=netout[row, col, b, 4],
+                        classes=classes.copy()))
 
     # per-class greedy NMS zeroing suppressed class scores
     for c in range(nb_class):

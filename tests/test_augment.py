@@ -4,6 +4,7 @@ reference's imgaug integration (/root/reference/myolo/myolo_utils.py:306-343).
 """
 
 import numpy as np
+import pytest
 
 from mask_yolo_tpu.data import augment
 from mask_yolo_tpu.data.shapes import ShapesConfig, ShapesDataset
@@ -181,3 +182,94 @@ def test_data_generator_norm_false():
     ds.prepare()
     batch = next(data_generator(ds, cfg, shuffle=False, norm=False))
     assert batch["image"].max() > 1.5
+
+
+class _FakeImgaugFliplr:
+    """Duck-typed imgaug stand-in (imgaug is not installed in CI): always
+    flips horizontally, freezes per-image via to_deterministic like
+    imgaug.augmenters.Fliplr(1.0)."""
+
+    def __init__(self):
+        self.deterministic_calls = 0
+
+    def to_deterministic(self):
+        self.deterministic_calls += 1
+        return self
+
+    def augment_image(self, image, hooks=None):
+        return np.fliplr(image).copy()
+
+
+def test_imgaug_adapter_duck_types(rng):
+    """VERDICT r3 'missing' #2: an imgaug-style augmenter (duck-typed on
+    augment_image/to_deterministic) plugs into the augmentation slot and is
+    applied to image AND mask (reference myolo_utils.py:306-343)."""
+    from mask_yolo_tpu.data.augment import ImgaugAdapter, as_augmenter
+
+    fake = _FakeImgaugFliplr()
+    aug = as_augmenter(fake)
+    assert isinstance(aug, ImgaugAdapter)
+
+    image = (rng.rand(16, 24, 3) * 255).astype(np.uint8)
+    mask = np.zeros((16, 24, 2), dtype=bool)
+    mask[2:6, 3:9, 0] = True
+    mask[8:12, 15:20, 1] = True
+    out_img, out_mask = aug(image, mask)
+    assert fake.deterministic_calls == 1
+    np.testing.assert_array_equal(out_img, np.fliplr(image))
+    np.testing.assert_array_equal(out_mask, np.fliplr(mask))
+    assert out_mask.dtype == bool
+
+
+def test_imgaug_adapter_rejects_shape_changes():
+    from mask_yolo_tpu.data.augment import ImgaugAdapter
+
+    class BadCrop:
+        def augment_image(self, image, hooks=None):
+            return image[:-2]
+
+    with pytest.raises(ValueError, match="changed the image/mask shape"):
+        ImgaugAdapter(BadCrop())(np.zeros((8, 8, 3), np.uint8),
+                                 np.zeros((8, 8, 1), bool))
+
+
+def test_as_augmenter_passthrough_and_rejection():
+    from mask_yolo_tpu.data import augment
+
+    seq = augment.default_augmenter(seed=3)
+    assert augment.as_augmenter(seq) is seq
+    assert augment.as_augmenter(None) is None
+    fn = lambda image, mask: (image, mask)
+    assert augment.as_augmenter(fn) is fn
+    with pytest.raises(TypeError, match="augment_image"):
+        augment.as_augmenter(object())
+    with pytest.raises(TypeError, match="augment_image"):
+        augment.ImgaugAdapter(object())
+
+
+def test_load_image_gt_accepts_imgaug_style(rng):
+    """End-to-end: train(augmentation=<imgaug aug>) path — load_image_gt
+    wraps duck-typed imgaug augmenters automatically; GT boxes follow the
+    flipped masks."""
+    from mask_yolo_tpu.data.loader import load_image_gt
+    from mask_yolo_tpu.data.shapes import ShapesConfig, ShapesDataset
+
+    class Cfg(ShapesConfig):
+        USE_MINI_MASK = False
+
+    cfg = Cfg()
+    ds = ShapesDataset()
+    ds.load_shapes(4, *cfg.IMAGE_SHAPE[:2], seed=11)
+    ds.prepare()
+
+    img_a, ids_a, box_a, mask_a = load_image_gt(
+        ds, cfg, ds.image_ids[0], augmentation=None)
+    img_b, ids_b, box_b, mask_b = load_image_gt(
+        ds, cfg, ds.image_ids[0], augmentation=_FakeImgaugFliplr())
+    np.testing.assert_array_equal(img_b, np.fliplr(img_a))
+    np.testing.assert_array_equal(ids_b, ids_a)
+    np.testing.assert_array_equal(mask_b, np.fliplr(mask_a))
+    w = cfg.IMAGE_SHAPE[1]
+    # x1' = W - x2, x2' = W - x1 under a horizontal flip
+    np.testing.assert_array_equal(box_b[:, 0], w - box_a[:, 2])
+    np.testing.assert_array_equal(box_b[:, 2], w - box_a[:, 0])

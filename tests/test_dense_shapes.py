@@ -80,3 +80,84 @@ def test_dense_shapes_encodes_with_coco_config():
     t, tb = encode_batch(boxes, ids, cfg)
     assert t.shape == (2, 13, 13, 5, 5 + 81)
     assert t[..., 4].sum() > 20  # dense scenes → many responsible anchors
+
+
+def test_textured_mode_preserves_gt_geometry():
+    """textured=True (the r4 photographic-complexity fixture) changes ONLY
+    pixel appearance: masks, class ids, and boxes are identical to the flat
+    renderer's for the same seed."""
+    import numpy as np
+
+    from mask_yolo_tpu.data.dense_shapes import DenseShapesDataset
+
+    flat = DenseShapesDataset()
+    flat.load_dense(4, 128, 128, seed=5, num_classes=8, min_instances=4,
+                    max_instances=8)
+    flat.prepare()
+    tex = DenseShapesDataset()
+    tex.load_dense(4, 128, 128, seed=5, num_classes=8, min_instances=4,
+                   max_instances=8, textured=True)
+    tex.prepare()
+
+    for i in flat.image_ids:
+        m_f, c_f = flat.load_mask(i)
+        m_t, c_t = tex.load_mask(i)
+        np.testing.assert_array_equal(m_f, m_t)
+        np.testing.assert_array_equal(c_f, c_t)
+        # the images genuinely differ (texture/clutter/lighting applied)
+        assert not np.array_equal(flat.load_image(i), tex.load_image(i))
+
+
+def test_textured_mode_is_deterministic_and_textured():
+    import numpy as np
+
+    from mask_yolo_tpu.data.dense_shapes import DenseShapesDataset
+
+    a = DenseShapesDataset()
+    a.load_dense(2, 128, 128, seed=9, num_classes=8, textured=True,
+                 min_instances=4, max_instances=8)
+    a.prepare()
+    b = DenseShapesDataset()
+    b.load_dense(2, 128, 128, seed=9, num_classes=8, textured=True,
+                 min_instances=4, max_instances=8)
+    b.prepare()
+    for i in a.image_ids:
+        img_a, img_b = a.load_image(i), b.load_image(i)
+        np.testing.assert_array_equal(img_a, img_b)
+        assert img_a.dtype == np.uint8
+
+        # class evidence is no longer a flat fill: within-instance pixel
+        # variance must be substantial (texture + gradient + lighting)
+        mask, _ = a.load_mask(i)
+        inst = mask[:, :, 0]
+        if inst.sum() > 50:
+            px = img_a[inst].astype(np.float32)
+            assert px.std(axis=0).mean() > 2.0, "instance looks flat"
+
+
+def test_textured_class_signal_survives():
+    """The palette class remains decodable from the MEAN instance color
+    under texture/lighting — the fixture is harder, not unlearnable."""
+    import numpy as np
+
+    from mask_yolo_tpu.data.dense_shapes import DenseShapesDataset
+
+    ds = DenseShapesDataset()
+    ds.load_dense(6, 160, 160, seed=3, num_classes=16, textured=True,
+                  min_instances=5, max_instances=10)
+    ds.prepare()
+    hits = total = 0
+    for i in ds.image_ids:
+        img = ds.load_image(i).astype(np.float32)
+        mask, class_ids = ds.load_mask(i)
+        for j, cid in enumerate(class_ids):
+            inst = mask[:, :, j]
+            if inst.sum() < 60:
+                continue
+            mean = img[inst].mean(axis=0)
+            d = np.abs(ds._palette.astype(np.float32) - mean).sum(axis=1)
+            total += 1
+            hits += int(1 + int(np.argmin(d)) == int(cid))
+    assert total >= 20
+    # lighting gain shifts colors, so demand "mostly right", not perfect
+    assert hits / total > 0.6, f"class signal too weak: {hits}/{total}"

@@ -157,3 +157,21 @@ def test_exported_detector_serves(tiny_model, tmp_path, rng):
         assert len(results[0]["detections"]) == int(keep.sum())
     finally:
         ex.shutdown()
+
+
+def test_float32_artifact_normalizes_integer_input(tiny_model, tmp_path, rng):
+    """ADVICE r3 (medium): an artifact exported with input_dtype='float32'
+    expects pre-normalized [0, 1] input; uint8 callers (the serve wire
+    format) must be normalized by the loader, not bare-cast — a bare cast
+    fed 0-255 floats into the graph and produced garbage detections."""
+    model, cfg = tiny_model
+    path = tmp_path / "detect_f32.mytpu"
+    header = model.export_model(path, input_dtype="float32")
+    assert header["input_dtype"] == "float32"
+    det = ExportedDetector.load(path)
+
+    u8 = (rng.rand(2, *cfg.IMAGE_SHAPE) * 255).astype(np.uint8)
+    got = det.detect_batch(u8)  # integer input → /255 normalization
+    ref = det.detect_batch(u8.astype(np.float32) / 255.0)
+    for k in ref:
+        assert np.array_equal(np.asarray(got[k]), np.asarray(ref[k])), k

@@ -311,3 +311,141 @@ def test_int8_detect_on_mesh(tiny_setup, rng):
     out = jax.device_get(det.detect_outputs(images, mesh=mesh))
     for k in ref:
         np.testing.assert_array_equal(out[k], ref[k])
+
+
+# ---------------------------------------------------------------------------
+# HLO-level structural guards (VERDICT r3 #6): the numeric tests above prove
+# agreement; these prove the EFFICIENCY story — which collectives XLA did
+# (and did not) insert — so a sharding regression that keeps the numbers
+# right but silently all-gathers parameters or adds collectives to the
+# per-image-independent detect path fails loudly.
+# ---------------------------------------------------------------------------
+
+_COLLECTIVE_OPS = ("all-reduce", "all-gather", "reduce-scatter",
+                   "collective-permute", "all-to-all")
+
+
+def _collective_lines(hlo_text):
+    """Lines of compiled HLO containing a cross-device collective op
+    (word-boundary match on the op name, e.g. '... = f32[...] all-reduce(')."""
+    import re
+
+    out = []
+    for line in hlo_text.splitlines():
+        for op in _COLLECTIVE_OPS:
+            if re.search(rf"\b{op}(-start|-done)?\(", line):
+                out.append((op, line.strip()))
+                break
+    return out
+
+
+def _result_shape_dims(line):
+    """Parse the result shape dims from an HLO op line like
+    '%x = f32[3,3,512,512]{...} all-gather(...)'. Returns a tuple of ints
+    (empty for scalar/token results)."""
+    import re
+
+    m = re.search(r"=\s+\S*?\[([\d,]*)\]", line)
+    if not m or not m.group(1):
+        return ()
+    return tuple(int(d) for d in m.group(1).split(","))
+
+
+def test_hlo_dp_detect_has_zero_collectives(tiny_setup, rng):
+    """Pure-DP batched detect is per-image independent: batch sharding must
+    propagate end-to-end with ZERO cross-device collectives (the claim at
+    docs/PERFORMANCE.md 'Scale-out').
+
+    This is exactly why ShardedDetector runs the DP case under shard_map:
+    left to GSPMD, the TopK custom call does not partition over the batch
+    axis and XLA inserts a batch all-gather at detect's score top-K (found
+    by this very test in r4)."""
+    cfg, net, variables, _ = tiny_setup
+    from mask_yolo_tpu.parallel.inference import ShardedDetector
+
+    det = ShardedDetector(net, variables, cfg)
+    assert det.mesh.devices.shape == (8, 1)
+    images = jax.device_put(rng.rand(8, *cfg.IMAGE_SHAPE).astype(np.float32),
+                            batch_sharding(det.mesh))
+    txt = det._fn.lower(det.variables, images).compile().as_text()
+    bad = _collective_lines(txt)
+    assert not bad, f"pure-DP detect compiled with collectives: {bad[:5]}"
+
+
+def test_hlo_dp_int8_detect_has_zero_collectives(tiny_setup, rng):
+    """Same guarantee for the int8 pod-serving path
+    (QuantizedDetector.detect_outputs(mesh=...))."""
+    cfg, net, variables, _ = tiny_setup
+    from mask_yolo_tpu.quant import QuantizedDetector
+
+    calib = rng.rand(2, *cfg.IMAGE_SHAPE).astype(np.float32)
+    det = QuantizedDetector.from_variables(jax.device_get(variables), cfg,
+                                           calib)
+    mesh = build_mesh(cfg)
+    images = rng.rand(8, *cfg.IMAGE_SHAPE).astype(np.float32)
+    out = det.detect_outputs(images, mesh=mesh)  # builds the sharded fn
+    assert np.asarray(out["boxes"]).shape[0] == 8
+    sharded_images = jax.device_put(images, batch_sharding(mesh))
+    txt = det._detect_sharded.lower(sharded_images).compile().as_text()
+    bad = _collective_lines(txt)
+    assert not bad, f"int8 DP detect compiled with collectives: {bad[:5]}"
+
+
+def test_hlo_dp_train_step_has_gradient_allreduce_only(tiny_setup):
+    """Under pure DP the compiled train step contains gradient all-reduces
+    (XLA's inserted psum over 'data') and no all-gather/all-to-all — the
+    canonical DP communication pattern."""
+    cfg, net, variables, batch = tiny_setup
+    from mask_yolo_tpu.train import state as state_lib
+    from mask_yolo_tpu.train import trainer as trainer_lib
+
+    mesh = build_mesh(cfg)
+    tx = state_lib.make_optimizer(1e-3, cfg)
+    step = trainer_lib.make_train_step(net, cfg, tx, mode="training")
+    fresh = lambda tree: jax.tree.map(jnp.array, tree)
+    state = state_lib.create_train_state(
+        replicate_tree(fresh(variables["params"]), mesh),
+        replicate_tree(fresh(variables.get("batch_stats", {})), mesh), tx)
+    txt = step.lower(state, shard_batch(batch, mesh)).compile().as_text()
+    colls = _collective_lines(txt)
+    kinds = {op for op, _ in colls}
+    assert "all-reduce" in kinds, \
+        "DP train step compiled without a gradient all-reduce"
+    gathers = [l for op, l in colls if op in ("all-gather", "all-to-all")]
+    assert not gathers, f"unexpected gathers under pure DP: {gathers[:5]}"
+
+
+def test_hlo_tp_train_step_never_materializes_full_kernels(tiny_setup):
+    """With a real 'model' axis the compiled train step must not all-gather
+    any FULL sharded parameter (Megatron-style TP keeps kernels sharded;
+    an all-gather of a full kernel shape would mean GSPMD decided to
+    replicate — the memory win would be silently gone)."""
+    cfg, net, variables, batch = tiny_setup
+    from mask_yolo_tpu.parallel.mesh import place_tree
+    from mask_yolo_tpu.train import state as state_lib
+    from mask_yolo_tpu.train import trainer as trainer_lib
+
+    class TPConfig(type(cfg)):
+        DATA_PARALLEL = 4
+        MODEL_PARALLEL = 2
+
+    mesh = build_mesh(TPConfig())
+    assert mesh.devices.shape == (4, 2)
+    tx = state_lib.make_optimizer(1e-3, cfg)
+    step = trainer_lib.make_train_step(net, cfg, tx, mode="training")
+    fresh = lambda tree: jax.tree.map(jnp.array, tree)
+    params = place_tree(fresh(variables["params"]), mesh)
+    # the sharded (wide) parameter shapes we must never see re-assembled
+    full_shapes = {tuple(p.shape) for p in jax.tree.leaves(params)
+                   if p.ndim == 4 and p.shape[-1] >= 256}
+    assert full_shapes, "fixture lost its wide kernels"
+    state = state_lib.create_train_state(
+        params, place_tree(fresh(variables.get("batch_stats", {})), mesh), tx)
+    txt = step.lower(state, shard_batch(batch, mesh)).compile().as_text()
+    colls = _collective_lines(txt)
+    assert any(op == "all-reduce" for op, _ in colls), \
+        "TP train step compiled without any all-reduce"
+    offending = [l for op, l in colls if op == "all-gather"
+                 and _result_shape_dims(l) in full_shapes]
+    assert not offending, \
+        f"full sharded kernels re-materialized by all-gather: {offending[:3]}"

@@ -376,3 +376,34 @@ def test_infer_yolo_top_n_equivalence(rng):
     np.testing.assert_array_equal(topn["valid"], full["valid"])
     keep = full["valid"]
     np.testing.assert_array_equal(topn["classes"][keep], full["classes"][keep])
+
+
+def test_boundbox_reference_surface():
+    """BoundBox (VERDICT r3 'missing' #3): reference-compatible box object
+    (myolo_utils.py:161-185) — attribute access, get_label()/get_score(),
+    argmax-of-classes derivation — that is ALSO a dict so framework code
+    (visualize.draw_boxes_mpl, existing user code) keeps working."""
+    from mask_yolo_tpu.utils.host_ops import BoundBox
+
+    # reference-style construction: classes vector, label/score derived
+    bb = BoundBox(0.1, 0.2, 0.5, 0.6, c=0.9, classes=[0.0, 0.3, 0.7])
+    assert bb.get_label() == 2
+    assert bb.get_score() == pytest.approx(0.7)
+    assert bb.xmin == pytest.approx(0.1) and bb.ymax == pytest.approx(0.6)
+    assert bb.c == pytest.approx(0.9)
+    assert bb["label"] == 2 and bb["score"] == pytest.approx(0.7)
+    assert isinstance(bb, dict)
+
+    # device-style construction: winning class already resolved on-chip
+    bb2 = BoundBox(xmin=1, ymin=2, xmax=3, ymax=4, score=0.8, label=5)
+    assert bb2.get_label() == 5 and bb2.get_score() == pytest.approx(0.8)
+    assert bb2.classes is None
+
+    # the host decoder returns BoundBox too (oracle + API parity in one)
+    rng = np.random.RandomState(0)
+    netout = rng.randn(2, 2, 2, 5 + 3).astype(np.float32) * 2
+    out = decode_one_yolo_output(netout, [0.6, 0.7, 1.2, 1.1], 3,
+                                 obj_threshold=0.0)
+    assert out, "threshold 0 keeps boxes"
+    assert all(isinstance(b, BoundBox) for b in out)
+    assert out[0].get_label() == out[0]["label"]

@@ -123,18 +123,25 @@ def main():
                                      k_block=args.k_block)
         return fm
 
-    def make_infer_yolo():
+    def make_infer_yolo(int8: bool = False):
         """Detection-only inference (infer_yolo): trunk + decode + blocked
         per-class NMS over 13·13·5 = 845 boxes × 81 classes — the path that
-        used to run an 845-trip sequential fori_loop per class."""
+        used to run an 845-trip sequential fori_loop per class.
+
+        int8=True routes the trunk through the quantized graph (the path
+        MaskYOLO.quantize() rewires infer_yolo to, r4)."""
         from mask_yolo_tpu import pipelines
-        from mask_yolo_tpu.models.network import MaskYoloNet  # noqa: F401
 
         @functools.partial(jax.jit, static_argnums=(1,))
         def repeat(images, n):
             def body(carry, _):
                 img, acc = carry
-                out = pipelines.infer_yolo_outputs(net, variables, img, cfg)
+                if int8:
+                    out = pipelines.infer_yolo_from_callables(
+                        det.trunk, img, cfg)
+                else:
+                    out = pipelines.infer_yolo_outputs(net, variables, img,
+                                                       cfg)
                 s = _checksum(out)
                 img = img + s * jnp.float32(1e-30)
                 return (img, acc + s), None
@@ -145,8 +152,8 @@ def main():
 
     for path in args.paths.split(","):
         path = path.strip()
-        if path == "infer_yolo":
-            call = make_infer_yolo()
+        if path in ("infer_yolo", "infer_yolo_int8"):
+            call = make_infer_yolo(int8=path.endswith("int8"))
             try:
                 ips = bench(call, cfg, args.batch)
                 print(json.dumps({"path": path, "img_per_s": round(ips, 1),

@@ -75,13 +75,20 @@ def main():
         # can flip the odd borderline 0.5-threshold mask pixel (measured
         # 7.6e-6 px / 1 pixel on this chip) — so verify with tolerances,
         # exact on the discrete outputs
+        # hard errors, not asserts: verification must not silently pass
+        # under `python -O`
         for k in ("classes", "valid", "scores"):
-            assert np.array_equal(got[k], ref[k]), k
-        assert np.allclose(got["boxes"], ref["boxes"], atol=1e-3), "boxes"
+            if not np.array_equal(got[k], ref[k]):
+                raise SystemExit(f"verify FAILED: {k} differs between "
+                                 f"artifact and live model")
+        if not np.allclose(got["boxes"], ref["boxes"], atol=1e-3):
+            raise SystemExit("verify FAILED: boxes differ beyond 1e-3 px")
         frac = np.mean(got["masks"] != ref["masks"])
         # untrained/low-confidence models sit near the 0.5 mask threshold on
         # many boundary pixels, so allow up to 0.1% borderline flips
-        assert frac < 1e-3, f"masks differ on {frac:.2e} of pixels"
+        if not frac < 1e-3:
+            raise SystemExit(
+                f"verify FAILED: masks differ on {frac:.2e} of pixels")
         print(f"verify: artifact matches live model on B={b} "
               f"(boxes atol 1e-3 px, {frac:.1e} borderline mask pixels)")
 

@@ -25,7 +25,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _make_coco_copy(out_dir, count, seed, num_classes):
+def _make_coco_copy(out_dir, count, seed, num_classes, textured=False):
     """Dense synthetic set → on-disk COCO dataset → CocoDataset. Reuses an
     existing materialization (same seed ⇒ same data) when present."""
     import json as _json
@@ -41,7 +41,8 @@ def _make_coco_copy(out_dir, count, seed, num_classes):
         reuse = len(meta.get("images", [])) == count
     if not reuse:
         src = DenseShapesDataset()
-        src.load_dense(count, 416, 416, seed=seed, num_classes=num_classes)
+        src.load_dense(count, 416, 416, seed=seed, num_classes=num_classes,
+                       textured=textured)
         src.prepare()
         ann = dataset_to_coco_json(src, out_dir)
     d = CocoDataset()
@@ -112,6 +113,10 @@ def main():
     ap.add_argument("--out", default="./quality_run_coco")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--num-classes", type=int, default=80)
+    ap.add_argument("--textured", action="store_true",
+                    help="photographic-complexity fixture: per-instance "
+                         "texture, background clutter, lighting gradients "
+                         "(data/dense_shapes.py textured mode, r4)")
     ap.add_argument("--score-threshold", type=float, default=0.35)
     ap.add_argument("--num-overlays", type=int, default=3)
     ap.add_argument("--mask-top-k", type=int, default=None,
@@ -180,11 +185,14 @@ def main():
 
     print("materializing COCO-format datasets ...", flush=True)
     train_ds = _make_coco_copy(os.path.join(args.out, "coco_train"),
-                               args.train_images, args.seed, args.num_classes)
+                               args.train_images, args.seed, args.num_classes,
+                               textured=args.textured)
     val_ds = _make_coco_copy(os.path.join(args.out, "coco_val"),
-                             args.val_images, args.seed + 1, args.num_classes)
+                             args.val_images, args.seed + 1, args.num_classes,
+                             textured=args.textured)
     eval_ds = _make_coco_copy(os.path.join(args.out, "coco_eval"),
-                              args.eval_images, args.seed + 2, args.num_classes)
+                              args.eval_images, args.seed + 2,
+                              args.num_classes, textured=args.textured)
     print(f"train={len(train_ds.image_ids)} val={len(val_ds.image_ids)} "
           f"eval={len(eval_ds.image_ids)} classes={train_ds.num_classes}",
           flush=True)
@@ -267,6 +275,7 @@ def main():
     result["train_images"] = args.train_images
     result["num_classes"] = args.num_classes
     result["mask_top_k"] = config.MASK_TOP_K
+    result["textured"] = bool(args.textured)
     if ap_cb is not None and ap_cb.history:
         result["best_epoch_box_ap50"] = ap_cb.best
         result["ap_trajectory"] = [

@@ -56,6 +56,9 @@ def main():
 
         if args.quantize:
             ap.error("--quantize applies at export time, not to an artifact")
+        if "--config" in sys.argv:
+            ap.error("--config is determined by the artifact header; it "
+                     "cannot be overridden when serving --artifact")
         model = ExportedDetector.load(args.artifact)
         cfg = model.serve_config(batch_size=args.batch_size)
     else:
