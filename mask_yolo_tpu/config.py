@@ -149,6 +149,41 @@ class Config:
     # measured 131 → 111 µs/img on the 416² backbone but SLOWER at 224²).
     QUANT_DW_INT8 = None
 
+    # int8-PTQ path: keep the 3×3/s2 RGB stem conv in bf16. The stem's
+    # contraction (K = 27, N = 32) is too narrow to feed the int8 MXU: the
+    # r4 per-layer roofline measured it at 4.5 TOP/s int8 vs 38% of even
+    # its same-shape GEMM, and the bf16 formulation runs it 27% faster
+    # (16.4 → 12.0 µs/img at 416²/batch 128) while being strictly CLOSER
+    # to the f32 reference. None = auto (bf16 stem for inputs ≥ 320², the
+    # measured point; int8 below).
+    QUANT_STEM_BF16 = None
+
+    # int8 detect path: fold the per-ROI class selection into the final
+    # mask conv (gather each ROI's 256→1 filter by class id) instead of
+    # computing all NUM_CLASSES masks and one-hot-selecting afterwards.
+    # Same products, same accumulation length — but the class conv writes
+    # (and the select einsum re-reads) NUM_CLASSES× less: the r4 416² stage
+    # profile priced the select stage at 40 µs/img of pure HBM traffic.
+    QUANT_FOLD_MASK_SELECT = True
+
+    # int8 detect path: ROIAlign crop at default (bf16) MXU precision
+    # instead of HIGHEST. HIGHEST on bf16 crops forces multi-pass f32
+    # arithmetic + f32 intermediates (~2× the crop stage's traffic, r4
+    # profile); the crop feeds quantized convs, so the extra bits are
+    # discarded one layer later anyway. f32/calibration paths keep HIGHEST.
+    QUANT_FAST_CROP = True
+
+    # QAT (QuantizedDetector.finetune) distillation objective: weight on
+    # the mask-probability term relative to the grid/fmap terms. The r3
+    # 81-class int8 residual lives in the mask branch; >1 biases the
+    # finetune toward closing it (VERDICT r3 #4 ablation).
+    QUANT_QAT_MASK_WEIGHT = 1.0
+
+    # Mask-head layer names to keep in bf16 on the int8 path (e.g.
+    # ("mask_conv4",) or ("mask_deconv",)) — the leave-layer-f32 ablation
+    # for localizing the residual int8 mask-AP cost. () = all int8.
+    QUANT_MASK_F32_LAYERS = ()
+
     # int8-PTQ activation calibration statistic: 100 = absmax (default);
     # < 100 clips to that percentile of |activations|. Measured at the
     # 81-class point: clipping HURTS (99.9% halved AP — the extreme

@@ -443,12 +443,16 @@ class MaskYOLO:
         path with the new weights) — re-call quantize() to re-quantize."""
         from .quant import QuantizedDetector
 
+        calib = np.asarray(calib_images)
+        if np.issubdtype(calib.dtype, np.integer):
+            # accept uint8 images like detect() does (same footgun as the
+            # export.py input normalization): calibrating on 0-255 where
+            # [0, 1] is expected would silently wreck every scale
+            calib = calib.astype(np.float32) / 255.0
         qdet = QuantizedDetector.from_variables(
-            jax.device_get(self.variables), self.config,
-            np.asarray(calib_images), net=self.net)
+            jax.device_get(self.variables), self.config, calib, net=self.net)
         if finetune_steps:
-            qdet.finetune(np.asarray(calib_images), steps=finetune_steps,
-                          lr=finetune_lr)
+            qdet.finetune(calib, steps=finetune_steps, lr=finetune_lr)
         self._ensure_infer_fns()
         self._detect_fn = lambda variables, images: qdet.detect_outputs(images)
         # detection-only inference serves the same int8 trunk: at 416²/81

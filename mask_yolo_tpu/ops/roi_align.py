@@ -56,14 +56,20 @@ def interp_matrix(lo, hi, in_size: int, out_size: int, dtype=jnp.float32):
     return (w * in_range[..., None].astype(jnp.float32)).astype(dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def crop_and_resize(feature, boxes, crop_size, dtype=None):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def crop_and_resize(feature, boxes, crop_size, dtype=None, precision=None):
     """Batched bilinear crop: feature [B, H, W, C], boxes [B, R, 4]
     (x1, y1, x2, y2) normalized → [B, R, ph, pw, C].
 
     Equivalent to tf.image.crop_and_resize applied per (batch, roi) with the
     pyramid collapsed to a single level, which is exactly what the reference
     does (PyramidROIAlign clamps roi_level to 0, model.py:353-354).
+
+    precision: None → HIGHEST (f32 accumulation; bit-parity with the
+    reference crop). The int8 detect pipeline passes DEFAULT: with bf16
+    crops, HIGHEST forces multi-pass f32 MXU arithmetic AND f32
+    intermediates — the r4 stage profile measured the crop at ~2× its pure
+    bf16 traffic estimate, and its output feeds quantized convs anyway.
     """
     ph, pw = crop_size
     b, h, w, c = feature.shape
@@ -74,10 +80,10 @@ def crop_and_resize(feature, boxes, crop_size, dtype=None):
     wy = interp_matrix(y1, y2, h, ph, dtype)  # [B, R, ph, H]
     wx = interp_matrix(x1, x2, w, pw, dtype)  # [B, R, pw, W]
     feat = feature.astype(dtype)
-    # two MXU contractions; XLA fuses the transpose/reshapes. HIGHEST keeps
-    # f32 accumulation — these contractions are tiny (K = H or W), so the
-    # precision costs nothing while keeping bit-parity with the reference.
-    prec = jax.lax.Precision.HIGHEST
+    # two MXU contractions; XLA fuses the transpose/reshapes. These
+    # contractions are tiny (K = H or W), so f32 accumulation costs no
+    # FLOPs-bound time — only the intermediates' dtype matters (see above).
+    prec = jax.lax.Precision.HIGHEST if precision is None else precision
     tmp = jnp.einsum("brph,bhwc->brpwc", wy, feat, precision=prec)
     out = jnp.einsum("brpwc,brqw->brpqc", tmp, wx, precision=prec)
     return out

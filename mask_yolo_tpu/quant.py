@@ -127,20 +127,28 @@ def build_layer_graph(variables, config):
     """
     params = variables["params"]
     stats = variables.get("batch_stats", {})
+    mask_f32 = getattr(config, "QUANT_MASK_F32_LAYERS", ()) or ()
     if config.BACKBONE != "mobilenet":
         return {"trunk": None, "neck": None, "yolo": None,
-                "mask": _mask_layers(params["mask"], stats["mask"])}
+                "mask": _mask_layers(params["mask"], stats["mask"],
+                                     f32_layers=mask_f32)}
 
     dw_int8 = getattr(config, "QUANT_DW_INT8", None)
     if dw_int8 is None:  # auto: big spatials amortize grouped-int8 lowering
         dw_int8 = int(config.IMAGE_SHAPE[0]) >= 320
     dw_int8 = bool(dw_int8)
 
+    stem_bf16 = getattr(config, "QUANT_STEM_BF16", None)
+    if stem_bf16 is None:  # auto: narrow-K stem feeds the MXU better in bf16
+        stem_bf16 = int(config.IMAGE_SHAPE[0]) >= 320
+    stem_bf16 = bool(stem_bf16)
+
     bb_p, bb_s = params["backbone"], stats["backbone"]
     trunk = []
     k, b = fold_conv_bn(bb_p["conv1"]["conv"]["kernel"], bb_p["conv1"]["bn"],
                         bb_s["conv1"]["bn"])
-    trunk.append(Layer("conv1", "conv", k, b, (2, 2), "relu6"))
+    trunk.append(Layer("conv1", "conv", k, b, (2, 2), "relu6",
+                       quantize=not stem_bf16))
     bb_strides = {"block2": (2, 2), "block4": (2, 2)}
     for i in range(1, 7):
         name = f"block{i}"
@@ -165,17 +173,24 @@ def build_layer_graph(variables, config):
                       (1, 1), "linear"))
 
     return {"trunk": trunk, "neck": neck, "yolo": yolo,
-            "mask": _mask_layers(params["mask"], stats["mask"])}
+            "mask": _mask_layers(params["mask"], stats["mask"],
+                                 f32_layers=mask_f32)}
 
 
-def _mask_layers(m_p, m_s):
-    """Folded mask-head layer chain (shared by every backbone)."""
+def _mask_layers(m_p, m_s, f32_layers=()):
+    """Folded mask-head layer chain (shared by every backbone).
+
+    f32_layers: mask-head layer names (e.g. 'mask_conv4', 'mask_deconv') to
+    run bf16 instead of int8 — the Config.QUANT_MASK_F32_LAYERS ablation
+    knob for localizing the residual int8 mask-AP cost."""
+    f32_layers = set(f32_layers or ())
     mask = []
     for i in range(1, 5):
         k, b = fold_conv_bn(m_p[f"mask_conv{i}"]["kernel"],
                             m_p[f"mask_bn{i}"], m_s[f"mask_bn{i}"],
                             conv_bias=m_p[f"mask_conv{i}"].get("bias"))
-        mask.append(Layer(f"mask_conv{i}", "conv", k, b, (1, 1), "relu"))
+        mask.append(Layer(f"mask_conv{i}", "conv", k, b, (1, 1), "relu",
+                          quantize=f"mask_conv{i}" not in f32_layers))
     # 2×2/s2 ConvTranspose == 1×1 conv to (2·2·O) channels + depth-to-space:
     # y[2i+di, 2j+dj, o] = Σ_c x[i,j,c] · W[di,dj,c,o]. The deconv therefore
     # runs as a dense int8 1×1 conv on the MXU with zero padding waste
@@ -191,7 +206,8 @@ def _mask_layers(m_p, m_s):
     mask.append(Layer("mask_deconv", "conv", dk_1x1,
                       np.tile(np.asarray(m_p["mask_deconv"]["bias"],
                                          np.float32), kh * kw),
-                      (1, 1), "relu", quantize=True))
+                      (1, 1), "relu",
+                      quantize="mask_deconv" not in f32_layers))
     ok = np.asarray(m_p["mask_out"]["kernel"], np.float32)  # [1, 1, O, C]
     nc = ok.shape[-1]
     ok_block = np.zeros((1, 1, kh * kw * co, kh * kw * nc), np.float32)
@@ -343,12 +359,18 @@ def _fusable_ds_pair(layer, nxt, x_scale):
 
 
 def run_layers(layers, x, quant: bool, collect=None, fused_ds: bool = False,
-               interpret: bool = False, calib_pct: float = 100.0):
+               interpret: bool = False, calib_pct: float = 100.0,
+               x_scale=None, out_scale=None):
+    """x_scale: scale of an already-int8 input `x` (a producer segment
+    quantized it — the C4 hand-off below); out_scale: requantize the final
+    output to int8 at this scale instead of returning f32 (XLA fuses the
+    round/clip/cast into the last conv's epilogue)."""
     if not quant:
+        assert x_scale is None
         for layer in layers:
             x = run_layer_f32(layer, x, collect, calib_pct)
         return x
-    scale = None
+    scale = x_scale
     i = 0
     while i < len(layers):
         layer = layers[i]
@@ -364,23 +386,29 @@ def run_layers(layers, x, quant: bool, collect=None, fused_ds: bool = False,
                 layer._ds_pack = packed
             kdw, dwsb, wpw, pwsb = packed[1]
             nxt2 = layers[i + 2] if i + 2 < len(layers) else None
-            out_scale = (nxt2.a_scale if nxt2 is not None
-                         and isinstance(nxt2.a_scale, float)
-                         and nxt2.a_scale > 0.0 else 0.0)
+            # NB: do NOT name this `out_scale` — that is the function
+            # parameter controlling the final-output requantize epilogue
+            ds_out = (nxt2.a_scale if nxt2 is not None
+                      and isinstance(nxt2.a_scale, float)
+                      and nxt2.a_scale > 0.0 else 0.0)
             x = fused_ds_block(x, jnp.asarray(kdw), jnp.asarray(dwsb),
                                jnp.asarray(wpw), jnp.asarray(pwsb),
                                a_pw=float(nxt.a_scale),
-                               s_out=float(out_scale), interpret=interpret)
-            scale = out_scale if out_scale else None
+                               s_out=float(ds_out), interpret=interpret)
+            scale = ds_out if ds_out else None
             i += 2
             continue
         # inter-layer tensors stay int8 in HBM whenever the next layer has a
         # calibrated input scale — even between bf16 layers, int8 storage is
         # the 4× activation-traffic cut (the bf16 layer dequantizes on load)
-        out_scale = (nxt.a_scale if nxt is not None and _scale_ok(nxt.a_scale)
+        nxt_scale = (nxt.a_scale if nxt is not None and _scale_ok(nxt.a_scale)
                      else None)
-        x, scale = run_layer_int8(layer, x, scale, out_scale)
+        x, scale = run_layer_int8(layer, x, scale, nxt_scale)
         i += 1
+    if out_scale is not None:
+        if scale is None:
+            x = _quantize_act(x, out_scale)
+        return x
     assert scale is None  # segments end in an f32 (linear/sigmoid) layer
     return x
 
@@ -393,23 +421,59 @@ def run_layers(layers, x, quant: bool, collect=None, fused_ds: bool = False,
 def _trunk_outputs(graph, images, quant: bool, collect=None,
                    fused_ds: bool = False, interpret: bool = False,
                    calib_pct: float = 100.0):
+    # int8 C4 hand-off (r4 per-layer roofline finding): the trunk output is
+    # a 5.5 MB/img f32 tensor at 416² that the f32 hand-off writes once and
+    # reads twice (neck + yolo each re-quantize it) — ~16 µs/img of pure
+    # HBM traffic. The neck's and yolo's input scales are calibrated on the
+    # SAME tensor, so when they agree the trunk requantizes C4 once and
+    # both consumers read int8 (4× less traffic; value-identical up to
+    # FMA-reassociation rounding flips on requantize boundaries).
+    shared = None
+    if quant and collect is None and graph["neck"] and graph["yolo"]:
+        na, ya = graph["neck"][0], graph["yolo"][0]
+        # BOTH consumers must be int8 layers that would quantize their input
+        # anyway (quantize + w_q + calibrated scale — the run_layer_int8
+        # entry condition): a consumer running in f32 (e.g. block7/dw when
+        # QUANT_DW_INT8 is off at 224²) reads the exact f32 C4 today, and
+        # handing it dequantized int8 would inject a quantization round-trip
+        # that never existed (caught by test_int8_c4_handoff_bit_identical).
+        if (na.quantize and na.w_q is not None
+                and ya.quantize and ya.w_q is not None
+                and _scale_ok(na.a_scale) and _scale_ok(ya.a_scale)
+                and np.array_equal(np.asarray(na.a_scale),
+                                   np.asarray(ya.a_scale))
+                and na.act_folded == ya.act_folded):
+            shared = na.a_scale
     c4 = run_layers(graph["trunk"], images, quant, collect,
                     fused_ds=fused_ds, interpret=interpret,
-                    calib_pct=calib_pct)
-    fmap = run_layers(graph["neck"], c4, quant, collect, calib_pct=calib_pct)
+                    calib_pct=calib_pct, out_scale=shared)
+    fmap = run_layers(graph["neck"], c4, quant, collect,
+                      calib_pct=calib_pct, x_scale=shared)
     raw = run_layers(graph["yolo"], c4, quant, collect,
                      fused_ds=fused_ds, interpret=interpret,
-                     calib_pct=calib_pct)
+                     calib_pct=calib_pct, x_scale=shared)
     return raw, fmap
 
 
 def _mask_outputs(graph, rois, fmap, pool_size: int, num_classes: int,
                   quant: bool, collect=None, image_hw=(224, 224),
-                  calib_pct: float = 100.0):
+                  calib_pct: float = 100.0, classes=None,
+                  fast_crop: bool = False):
+    """classes: optional [B, R] int32 — fold the per-ROI class selection
+    INTO the final 1×1 mask conv (gather each ROI's 256→1 filter column)
+    and return already-selected [B, R, 2p, 2p] masks instead of the full
+    [B, R, 2p, 2p, num_classes] tensor. Same products, same 256-term
+    accumulation per output — but the class conv writes (and the select
+    einsum re-reads) num_classes× less: the r4 stage profile priced the
+    one-hot select at 40 µs/img of pure HBM traffic at 416²/81-class.
+
+    fast_crop: crop with default (bf16) MXU precision instead of HIGHEST —
+    quant-path only (see ops/roi_align.crop_and_resize)."""
     b, r = rois.shape[:2]
     # quant path crops in bf16: halves the [B,K,14,28,C] contraction
     # intermediates' HBM traffic; calibration/parity path stays f32
     dt = jnp.bfloat16 if quant else jnp.float32
+    prec = (jax.lax.Precision.DEFAULT if (fast_crop and quant) else None)
     if isinstance(fmap, (tuple, list)):
         # FPN hybrid mode: pool each ROI from its pyramid level
         from .ops.roi_align import multilevel_crop_and_resize
@@ -419,12 +483,54 @@ def _mask_outputs(graph, rois, fmap, pool_size: int, num_classes: int,
                                        image_hw=tuple(image_hw),
                                        canonical_level=1).astype(dt)
     else:
-        x = crop_and_resize(fmap, rois, (pool_size, pool_size), dtype=dt)
+        x = crop_and_resize(fmap, rois, (pool_size, pool_size), dtype=dt,
+                            precision=prec)
     x = x.astype(jnp.float32)
     x = x.reshape(b * r, pool_size, pool_size, x.shape[-1])
-    x = run_layers(graph["mask"], x, quant, collect, calib_pct=calib_pct)
     side = 2 * pool_size
+    if classes is not None:
+        last = graph["mask"][-1]
+        assert last.kind == "out_d2s" and collect is None
+        # keep the deconv→class-conv tensor int8 in HBM exactly like the
+        # full path does (run_layers' out_scale chaining)
+        ms = last.a_scale if quant and _scale_ok(last.a_scale) else None
+        x = run_layers(graph["mask"][:-1], x, quant, calib_pct=calib_pct,
+                       out_scale=ms)
+        return _selected_out_d2s(last, x, classes.reshape(b * r),
+                                 num_classes, pool_size,
+                                 x_scale=ms).reshape(b, r, side, side)
+    x = run_layers(graph["mask"], x, quant, collect, calib_pct=calib_pct)
     return x.reshape(b, r, side, side, num_classes)
+
+
+def _selected_out_d2s(layer: Layer, x, classes, num_classes: int,
+                      pool_size: int, x_scale=None):
+    """The out_d2s class conv with per-ROI class selection folded in.
+
+    The stored kernel is the block-diagonal [1, 1, 4·co, 4·nc] expansion
+    (see _mask_layers) whose block `blk`, column `c` is the original class
+    conv's [co] filter for class c — so block 0's first nc columns ARE the
+    original [co, nc] matrix. Selecting class c_n for ROI n before the
+    matmul (a [co] gather) computes exactly the products the full conv +
+    one-hot einsum would keep, over the same co-term accumulation.
+
+    x: [N, p, p, 4·co] f32 (deconv+relu output), or int8 at scale x_scale.
+    classes: [N] int32. Returns [N, 2p, 2p] f32 sigmoid masks.
+    """
+    co = layer.kernel.shape[2] // 4
+    w = jnp.asarray(layer.kernel[0, 0, :co, :num_classes])  # [co, nc]
+    b4 = jnp.asarray(layer.bias[:num_classes])              # [nc]
+    w_sel = jnp.take(w.T, classes, axis=0)                  # [N, co]
+    b_sel = jnp.take(b4, classes)                           # [N]
+    if x_scale is not None:  # dequantize (fuses into the einsum's load)
+        x = x.astype(jnp.float32) * jnp.asarray(np.asarray(x_scale,
+                                                           np.float32))
+    n, p = x.shape[0], x.shape[1]
+    xb = x.reshape(n, p, p, 4, co).astype(jnp.bfloat16)
+    y = jnp.einsum("nhwbc,nc->nhwb", xb, w_sel.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    y = jax.nn.sigmoid(y + b_sel[:, None, None, None])
+    return _depth_to_space2(y)[..., 0]
 
 
 def calibrate(graph, config, images, rois=None, flax_trunk=None):
@@ -780,6 +886,12 @@ class QuantizedDetector:
         def nmse(x, t):
             return jnp.mean((x - t) ** 2) / (jnp.mean(t ** 2) + 1e-8)
 
+        # QUANT_QAT_MASK_WEIGHT: up-weight the mask-probability term of the
+        # distillation objective. The r3 81-class int8 residual lives in the
+        # mask branch (−0.009 mask AP50 vs −0.006 box); the joint equal-
+        # weight objective lets grid/fmap error trade against it.
+        mw = float(getattr(cfg, "QUANT_QAT_MASK_WEIGHT", 1.0) or 1.0)
+
         def loss_fn(p):
             if graph["trunk"] is not None:
                 c4 = _run_layers_fq(graph["trunk"], images, p)
@@ -789,7 +901,7 @@ class QuantizedDetector:
             else:
                 fmap, loss = fmap_t, 0.0
             mask = _run_layers_fq(graph["mask"], crop(fmap), p)
-            return loss + nmse(mask, mask_t)
+            return loss + mw * nmse(mask, mask_t)
 
         opt = optax.adam(lr)
 
@@ -846,11 +958,17 @@ class QuantizedDetector:
         grid = raw.reshape(b, gh, gw, nb, raw.shape[-1] // nb)
         return grid.astype(jnp.float32), fmap
 
-    def mask_branch(self, rois, fmap, quant: bool = True):
+    def mask_branch(self, rois, fmap, quant: bool = True, classes=None):
+        """classes: optional [B, R] int32 — return already-class-selected
+        [B, R, 2p, 2p] masks via the folded class conv (_selected_out_d2s);
+        None returns the full [B, R, 2p, 2p, num_classes] tensor."""
         return _mask_outputs(self.graph, rois, fmap,
                              self.config.MASK_POOL_SIZE,
                              self.config.NUM_CLASSES, quant,
-                             image_hw=tuple(self.config.IMAGE_SHAPE[:2]))
+                             image_hw=tuple(self.config.IMAGE_SHAPE[:2]),
+                             classes=classes,
+                             fast_crop=bool(getattr(self.config,
+                                                    "QUANT_FAST_CROP", True)))
 
     def detect_outputs(self, images, use_pallas: bool | None = None,
                        interpret: bool = False, mesh=None):
@@ -933,6 +1051,12 @@ class QuantizedDetector:
                         fmap, rois, classes, weights,
                         pool=config.MASK_POOL_SIZE,
                         num_classes=config.NUM_CLASSES, interpret=interpret)
+            elif (getattr(config, "QUANT_FOLD_MASK_SELECT", True)
+                  and self.graph["mask"][-1].kind == "out_d2s"):
+                # fold the per-ROI class selection into the class conv —
+                # kills the one-hot select stage's HBM round trip (r4)
+                def fused(rois, fmap, classes):
+                    return self.mask_branch(rois, fmap, classes=classes)
 
             @jax.jit
             def detect(images):

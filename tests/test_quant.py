@@ -449,3 +449,177 @@ def test_maskyolo_quantize_rewires_infer_yolo(setup, rng):
     assert bb.get_label() == bb["label"]
     assert bb.get_score() == bb["score"]
     assert bb.xmin == bb["xmin"]
+
+
+def _ab_handoff(graph, images):
+    raw, fmap = jax.jit(
+        lambda im: quant._trunk_outputs(graph, im, True))(images)
+
+    def no_handoff(im):  # each consumer re-quantizes the f32 C4 itself
+        c4 = quant.run_layers(graph["trunk"], im, True)
+        f = quant.run_layers(graph["neck"], c4, True)
+        r = quant.run_layers(graph["yolo"], c4, True)
+        return r, f
+
+    raw2, fmap2 = jax.jit(no_handoff)(images)
+    return (np.asarray(raw, np.float64), np.asarray(fmap, np.float64),
+            np.asarray(raw2, np.float64), np.asarray(fmap2, np.float64))
+
+
+def test_int8_c4_handoff_value_identical(setup):
+    """The r4 int8 C4 hand-off (quant._trunk_outputs): when the neck's and
+    YOLO head's first layers BOTH quantize their input at the same
+    calibrated scale, the trunk requantizes C4 once and both consumers read
+    int8 — 4x less HBM traffic. Arithmetically each consumer quantizes the
+    same f32 value at the same scale; XLA fuses the requantize into a
+    different program, and FMA reassociation can flip round-to-nearest on
+    boundary values — so allow quantization-step-sized flips on a small
+    fraction of elements."""
+    cfg, net, variables, images = setup
+
+    class DWCfg(type(cfg)):
+        QUANT_DW_INT8 = True  # make the yolo head's first (DW) layer int8
+
+    det = quant.QuantizedDetector.from_variables(variables, DWCfg(),
+                                                 np.asarray(images))
+    graph = det.graph
+    na, ya = graph["neck"][0], graph["yolo"][0]
+    assert na.quantize and ya.quantize
+    assert np.array_equal(np.asarray(na.a_scale), np.asarray(ya.a_scale)), (
+        "same-tensor calibration must agree")
+
+    raw, fmap, raw2, fmap2 = _ab_handoff(graph, images)
+    for a, b in ((raw, raw2), (fmap, fmap2)):
+        diff = np.abs(a - b)
+        nonzero = diff[diff > 0]
+        if nonzero.size:
+            frac = nonzero.size / diff.size
+            assert frac < 0.02, f"too many flips: {frac:.4f}"
+            assert nonzero.max() <= 3 * np.median(nonzero) + 1e-12, (
+                "differences larger than quantization-step flips")
+
+
+def test_c4_handoff_gated_off_for_f32_consumer(setup):
+    """When the YOLO head's first layer runs f32 (QUANT_DW_INT8 off — the
+    224² default), the hand-off must NOT engage: that layer reads the exact
+    f32 C4, and handing it dequantized int8 would inject a quantization
+    round-trip that never existed. Gate off ⇒ bit-exact equality."""
+    cfg, net, variables, images = setup
+    det = quant.QuantizedDetector.from_variables(variables, cfg,
+                                                 np.asarray(images))
+    graph = det.graph
+    assert not graph["yolo"][0].quantize, "precondition: f32 DW at 224²"
+
+    raw, fmap, raw2, fmap2 = _ab_handoff(graph, images)
+    np.testing.assert_array_equal(raw, raw2)
+    np.testing.assert_array_equal(fmap, fmap2)
+
+
+def test_quantize_accepts_uint8_calib(setup, rng):
+    """MaskYOLO.quantize() normalizes integer calibration images like
+    detect() does — uint8 calib must behave exactly like f32/255 calib
+    (calibrating on 0-255 would silently wreck every activation scale)."""
+    from mask_yolo_tpu import MaskYOLO
+
+    cfg = setup[0]
+    model = MaskYOLO(mode="inference", config=type(cfg)())
+    calib_u8 = (rng.rand(2, *cfg.IMAGE_SHAPE) * 255).astype(np.uint8)
+    model.quantize(calib_u8)
+    g1 = model._qdet.graph
+    model.quantize(calib_u8.astype(np.float32) / 255.0)
+    g2 = model._qdet.graph
+    for part in g1:
+        for l1, l2 in zip(g1[part], g2[part]):
+            if l1.a_scale is not None:
+                np.testing.assert_allclose(np.asarray(l1.a_scale),
+                                           np.asarray(l2.a_scale), rtol=1e-6)
+
+
+def test_fold_mask_select_matches_onehot(setup):
+    """QUANT_FOLD_MASK_SELECT (r4): folding the per-ROI class selection into
+    the final mask conv (_selected_out_d2s gathers each ROI's 256→1 filter)
+    must reproduce the full-conv + one-hot-einsum masks — same products,
+    same accumulation length, NUM_CLASSES× less HBM written/re-read."""
+    cfg, net, variables, images = setup
+    det = quant.QuantizedDetector.from_variables(variables, cfg,
+                                                 np.asarray(images))
+    rois = jnp.asarray(np.stack([
+        [[0.1, 0.1, 0.6, 0.6], [0.3, 0.2, 0.9, 0.8],
+         [0.0, 0.0, 1.0, 1.0], [0.4, 0.4, 0.5, 0.5]]] * 2).astype(np.float32))
+    classes = jnp.asarray([[0, 1, 2, 3], [3, 2, 1, 0]], jnp.int32)
+
+    _, fmap = jax.jit(det.trunk)(images)
+    full = jax.jit(det.mask_branch)(rois, fmap)          # [B, R, s, s, C]
+    onehot = jax.nn.one_hot(classes, cfg.NUM_CLASSES, dtype=full.dtype)
+    want = jnp.einsum("bkhwc,bkc->bkhw", full, onehot)
+    got = jax.jit(lambda r, f, c: det.mask_branch(r, f, classes=c))(
+        rois, fmap, classes)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=2e-2)
+    # sigmoid outputs: the 0.5-threshold decisions must agree essentially
+    # everywhere (bf16 accumulation-order differences only)
+    agree = np.mean((np.asarray(got) >= 0.5) == (np.asarray(want) >= 0.5))
+    assert agree > 0.999
+
+
+def test_fold_mask_select_detect_parity(setup):
+    """detect_fn with QUANT_FOLD_MASK_SELECT on vs off: identical boxes/
+    classes/scores (the fold touches only the mask tail) and near-identical
+    pasted masks."""
+    cfg, net, variables, images = setup
+
+    class OffCfg(type(cfg)):
+        QUANT_FOLD_MASK_SELECT = False
+
+    det_on = quant.QuantizedDetector.from_variables(variables, cfg,
+                                                    np.asarray(images))
+    det_off = quant.QuantizedDetector.from_variables(variables, OffCfg(),
+                                                     np.asarray(images))
+    out_on = jax.device_get(det_on.detect_outputs(images))
+    out_off = jax.device_get(det_off.detect_outputs(images))
+    np.testing.assert_array_equal(out_on["boxes"], out_off["boxes"])
+    np.testing.assert_array_equal(out_on["classes"], out_off["classes"])
+    np.testing.assert_array_equal(out_on["valid"], out_off["valid"])
+    disagree = np.mean(out_on["masks"] != out_off["masks"])
+    assert disagree < 1e-3, f"mask disagreement {disagree:.5f}"
+
+
+def test_fast_crop_detect_close_to_highest(setup):
+    """QUANT_FAST_CROP (r4): default-precision bf16 crop vs HIGHEST — boxes
+    identical (crop is mask-branch-only), masks near-identical."""
+    cfg, net, variables, images = setup
+
+    class SlowCfg(type(cfg)):
+        QUANT_FAST_CROP = False
+
+    det_fast = quant.QuantizedDetector.from_variables(variables, cfg,
+                                                      np.asarray(images))
+    det_slow = quant.QuantizedDetector.from_variables(variables, SlowCfg(),
+                                                      np.asarray(images))
+    out_f = jax.device_get(det_fast.detect_outputs(images))
+    out_s = jax.device_get(det_slow.detect_outputs(images))
+    np.testing.assert_array_equal(out_f["boxes"], out_s["boxes"])
+    np.testing.assert_array_equal(out_f["classes"], out_s["classes"])
+    disagree = np.mean(out_f["masks"] != out_s["masks"])
+    assert disagree < 5e-3, f"mask disagreement {disagree:.5f}"
+
+
+def test_mask_f32_layers_knob(setup):
+    """QUANT_MASK_F32_LAYERS: named mask-head layers run bf16 (quantize
+    False) on the int8 path — the leave-layer-f32 ablation knob."""
+    cfg, net, variables, images = setup
+
+    class AblCfg(type(cfg)):
+        QUANT_MASK_F32_LAYERS = ("mask_conv4", "mask_deconv")
+
+    graph = quant.build_layer_graph(variables, AblCfg())
+    flags = {l.name: l.quantize for l in graph["mask"]}
+    assert flags["mask_conv1"] and flags["mask_conv2"] and flags["mask_conv3"]
+    assert not flags["mask_conv4"]
+    assert not flags["mask_deconv"]
+    # and the pipeline still runs end-to-end
+    det = quant.QuantizedDetector.from_variables(variables, AblCfg(),
+                                                 np.asarray(images))
+    out = jax.device_get(det.detect_outputs(images))
+    assert out["masks"].dtype == bool

@@ -73,11 +73,52 @@ def bench_dtype(dtype, size, n1=4, n2=20, reps=3):
     return flops / best
 
 
+def bench_bandwidth(mbytes=256, n1=4, n2=20, reps=3):
+    """Measured HBM bandwidth: scan-chained elementwise update of a large
+    f32 array (each step reads + writes the whole array = 2x its bytes).
+    Anchors the 'this DW conv is bandwidth-bound' rows in the r4 per-layer
+    roofline (docs/PERFORMANCE.md) the way the matmul probes anchor MFU."""
+    n = mbytes * (1 << 20) // 4
+    x0 = jnp.ones((n,), jnp.float32)
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def chain(x, steps):
+        def body(x, _):
+            return x * jnp.float32(1.0000001), None
+        x, _ = jax.lax.scan(body, x, None, length=steps)
+        return jnp.sum(x[:1024])
+
+    float(chain(x0, n1))
+    float(chain(x0, n2))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(chain(x0, n1))
+        t1 = time.perf_counter()
+        float(chain(x0, n2))
+        t2 = time.perf_counter()
+        dt = (t2 - t1) - (t1 - t0)
+        if dt > 0:
+            best = min(best, dt / (n2 - n1))
+    return 2.0 * n * 4 / best
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=4096)
     ap.add_argument("--dtypes", default="bfloat16,int8")
+    ap.add_argument("--bandwidth-mb", type=int, default=256,
+                    help="HBM probe array size in MB (0 = skip)")
     args = ap.parse_args()
+    if args.bandwidth_mb:
+        try:
+            bw = bench_bandwidth(args.bandwidth_mb)
+            print(json.dumps({"probe": "hbm_copy", "mb": args.bandwidth_mb,
+                              "gbps": round(bw / 1e9, 1)}), flush=True)
+        except Exception as e:
+            print(json.dumps({"probe": "hbm_copy",
+                              "error": f"{type(e).__name__}: {e}"}),
+                  flush=True)
     for name in args.dtypes.split(","):
         dt = {"bfloat16": jnp.bfloat16, "int8": jnp.int8,
               "float32": jnp.float32}[name.strip()]

@@ -32,11 +32,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def setup(batch_size: int):
+def setup(batch_size: int, config_name: str = "shapes"):
+    from mask_yolo_tpu.config import CocoStyleConfig
     from mask_yolo_tpu.data.shapes import ShapesConfig
     from mask_yolo_tpu.models.network import MaskYoloNet
 
-    class BenchConfig(ShapesConfig):
+    base = {"shapes": ShapesConfig, "coco416": CocoStyleConfig}[config_name]
+
+    class BenchConfig(base):
         BATCH_SIZE = batch_size
         COMPUTE_DTYPE = "bfloat16"
 
@@ -44,7 +47,8 @@ def setup(batch_size: int):
     net = MaskYoloNet(num_classes=cfg.NUM_CLASSES, n_box=cfg.N_BOX,
                       top_feature_map_depth=cfg.TOP_FEATURE_MAP_DEPTH,
                       mask_pool_size=cfg.MASK_POOL_SIZE, backbone=cfg.BACKBONE,
-                      compute_dtype=cfg.COMPUTE_DTYPE)
+                      compute_dtype=cfg.COMPUTE_DTYPE,
+                      image_hw=tuple(cfg.IMAGE_SHAPE[:2]))
     img = jnp.zeros((batch_size, *cfg.IMAGE_SHAPE), jnp.float32)
     rois = jnp.zeros((batch_size, cfg.TRAIN_ROIS_PER_IMAGE, 4), jnp.float32)
     variables = jax.jit(lambda r, i, ro: net.init(r, i, ro, train=False))(
@@ -85,7 +89,30 @@ def make_scan_steps(net, cfg, tx):
     return run
 
 
-def bench_device_steps(cfg, net, variables, n1=2, n2=8, reps=3):
+def make_scan_fwd(net, cfg):
+    """Loss forward only (no grad, no update) — the fwd side of the
+    training-roofline split (VERDICT r3 #7)."""
+    from mask_yolo_tpu import pipelines
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run(state, batch, n):
+        def body(carry, _):
+            st = carry
+            variables = {"params": st.params, "batch_stats": st.batch_stats}
+            loss, _ = pipelines.training_loss(
+                net, variables, batch, cfg,
+                seen=st.step.astype(jnp.float32), train=True,
+                mutable_stats=True)
+            return st, loss
+
+        state, losses = jax.lax.scan(body, state, None, length=n)
+        return jnp.sum(losses)
+
+    return run
+
+
+def bench_device_steps(cfg, net, variables, n1=2, n2=8, reps=3,
+                       fwd_only=False):
     from mask_yolo_tpu.data.pipeline import BatchGenerator, preload_dataset
     from mask_yolo_tpu.data.shapes import ShapesDataset
     from mask_yolo_tpu.train import state as state_lib
@@ -98,7 +125,7 @@ def bench_device_steps(cfg, net, variables, n1=2, n2=8, reps=3):
     batch = {k: jax.device_put(v) for k, v in gen[0].items()}
 
     tx = state_lib.make_optimizer(1e-3, cfg)
-    run = make_scan_steps(net, cfg, tx)
+    run = make_scan_fwd(net, cfg) if fwd_only else make_scan_steps(net, cfg, tx)
 
     def fresh_state():
         return state_lib.create_train_state(
@@ -186,24 +213,43 @@ def main():
     ap.add_argument("--augment", action="store_true",
                     help="time the augmented data_generator path")
     ap.add_argument("--skip-device", action="store_true")
+    ap.add_argument("--skip-e2e", action="store_true")
+    ap.add_argument("--split", action="store_true",
+                    help="also time the loss forward alone (fwd/bwd split "
+                         "for the training roofline)")
+    ap.add_argument("--config", default="shapes",
+                    choices=["shapes", "coco416"],
+                    help="coco416 = CocoStyleConfig (81 classes, 416²) on "
+                         "Shapes geometry — the training-roofline row "
+                         "(VERDICT r3 #7) for the scale-out operating point")
     args = ap.parse_args()
 
-    cfg, net, variables = setup(args.batch)
-    out = {"batch_size": args.batch, "device": str(jax.devices()[0])}
+    cfg, net, variables = setup(args.batch, args.config)
+    out = {"batch_size": args.batch, "config": args.config,
+           "device": str(jax.devices()[0])}
     if not args.skip_device:
         ips = bench_device_steps(cfg, net, variables)
         out["device_only_images_per_sec"] = round(ips, 1)
         print(f"# device-only train step: {ips:,.0f} img/s", file=sys.stderr,
               flush=True)
-    e = bench_epoch(cfg, net, variables, args.images, args.legacy,
-                    augment=args.augment)
-    out.update({
-        "e2e_images_per_sec": round(e["images_per_sec"], 1),
-        "e2e_sec_per_step": round(e["sec_per_step"], 4),
-        "mb_per_step": round(e["mb_per_step"], 2),
-        "payload": "legacy_f32_fullmask" if args.legacy else "uint8_minimask",
-        "augmented_generator": bool(args.augment),
-    })
+        if args.split:
+            fwd = bench_device_steps(cfg, net, variables, fwd_only=True)
+            out["fwd_only_images_per_sec"] = round(fwd, 1)
+            out["fwd_us_per_img"] = round(1e6 / fwd, 1)
+            out["step_us_per_img"] = round(1e6 / ips, 1)
+            out["bwd_opt_over_fwd"] = round(fwd / ips - 1, 2)
+            print(f"# fwd-only: {fwd:,.0f} img/s", file=sys.stderr, flush=True)
+    if not args.skip_e2e:
+        e = bench_epoch(cfg, net, variables, args.images, args.legacy,
+                        augment=args.augment)
+        out.update({
+            "e2e_images_per_sec": round(e["images_per_sec"], 1),
+            "e2e_sec_per_step": round(e["sec_per_step"], 4),
+            "mb_per_step": round(e["mb_per_step"], 2),
+            "payload": ("legacy_f32_fullmask" if args.legacy
+                        else "uint8_minimask"),
+            "augmented_generator": bool(args.augment),
+        })
     print(json.dumps(out))
 
 

@@ -24,7 +24,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-VARIANTS = ("f32", "pt", "pc", "pt_qat", "pc_qat")
+VARIANTS = ("f32", "pt", "pc", "pt_qat", "pc_qat", "pc_qat_mw",
+            "pc_f32deconv", "pc_f32tail", "pc_qat_mw_f32deconv")
 
 
 def main():
@@ -34,9 +35,10 @@ def main():
     ap.add_argument("--data", required=True,
                     help="COCO-format dataset dir (instances.json + images/)")
     ap.add_argument("--variants", nargs="+", default=["f32", "pt", "pc", "pc_qat"],
-                    choices=list(VARIANTS),
+                    choices=list(VARIANTS) + ["none"],
                     help="pt=per-tensor PTQ, pc=+QUANT_PER_CHANNEL_ACT, "
-                         "*_qat=+label-free finetune")
+                         "*_qat=+label-free finetune; none = skip (e.g. a "
+                         "pure --mask-top-k sweep)")
     ap.add_argument("--num-classes", type=int, default=80)
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--calib-images", type=int, default=16)
@@ -46,6 +48,13 @@ def main():
                     help="cap eval to the first N images (0 = all)")
     ap.add_argument("--backbone", default=None,
                     choices=["mobilenet", "resnet50_fpn"])
+    ap.add_argument("--mask-top-k", type=int, nargs="+", default=None,
+                    help="ALSO evaluate the f32 model at each MASK_TOP_K "
+                         "value (0 = mask every kept detection, the "
+                         "reference's behavior — "
+                         "/root/reference/myolo/model.py:926-931). The A/B "
+                         "that prices the masks-for-top-K fallback where "
+                         "scenes exceed K instances (VERDICT r3 #3).")
     ap.add_argument("--out", default=None, help="write results JSON here")
     args = ap.parse_args()
 
@@ -80,9 +89,11 @@ def main():
         load_image_gt(ds, infer.config, i)[0].astype(np.float32) / 255.0
         for i in image_ids[:args.calib_images]])
 
-    def quantized(per_channel: bool, qat: bool):
+    def quantized(per_channel: bool, qat: bool, **overrides):
         cfg = RunConfig()
         cfg.QUANT_PER_CHANNEL_ACT = per_channel
+        for k, v in overrides.items():
+            setattr(cfg, k, v)
         qdet = QuantizedDetector.from_variables(infer.variables, cfg, calib)
         if qat:
             qdet.finetune(calib, steps=args.qat_steps, lr=1e-5)
@@ -100,10 +111,42 @@ def main():
         "pc": lambda: quantized(True, False),
         "pt_qat": lambda: quantized(False, True),
         "pc_qat": lambda: quantized(True, True),
+        # VERDICT r3 #4 ablations (close the 81-class int8 mask residual):
+        # mask-weighted QAT distillation — the residual lives in the mask
+        # branch, so weight its term 4× in the finetune objective
+        "pc_qat_mw": lambda: quantized(True, True, QUANT_QAT_MASK_WEIGHT=4.0),
+        # leave the mask deconv (the last conv before the class head) bf16
+        "pc_f32deconv": lambda: quantized(
+            True, False, QUANT_MASK_F32_LAYERS=("mask_deconv",)),
+        # leave the whole mask tail (conv4 + deconv) bf16
+        "pc_f32tail": lambda: quantized(
+            True, False, QUANT_MASK_F32_LAYERS=("mask_conv4", "mask_deconv")),
+        "pc_qat_mw_f32deconv": lambda: quantized(
+            True, True, QUANT_QAT_MASK_WEIGHT=4.0,
+            QUANT_MASK_F32_LAYERS=("mask_deconv",)),
     }
 
     results = {}
+    for kp in (args.mask_top_k or []):
+        class KpConfig(RunConfig):
+            MASK_TOP_K = kp
+
+        m = MaskYOLO(mode="inference", config=KpConfig())
+        m.load_weights(args.weights)
+        t0 = time.perf_counter()
+        r = evaluate_dataset(m, ds, m.config, image_ids=image_ids,
+                             batch_size=args.batch_size,
+                             score_threshold=args.score_threshold)
+        r.pop("per_image", None)
+        r["eval_seconds"] = round(time.perf_counter() - t0, 1)
+        results[f"f32_topk{kp}"] = r
+        print(f"[f32 MASK_TOP_K={kp}] box_ap50={r['box_ap50']:.4f} "
+              f"mask_ap50={r['mask_ap50']:.4f} ({r['eval_seconds']}s)",
+              flush=True)
+
     for name in args.variants:
+        if name == "none":
+            continue
         t0 = time.perf_counter()
         r = evaluate_dataset(models[name](), ds, infer.config,
                              image_ids=image_ids, batch_size=args.batch_size,

@@ -142,6 +142,55 @@ def chain_whole(graph, x0):
     return lambda n: repeat(x0, n)
 
 
+def chain_prefix(layers, x0):
+    """Scan chain over the first N layers (the chain-update overhead on the
+    fixed f32 input is constant across prefixes, so successive deltas give
+    each layer's TRUE marginal cost in the fused program context)."""
+    from mask_yolo_tpu import quant
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def repeat(x, n):
+        def body(carry, _):
+            x, acc = carry
+            y = quant.run_layers(layers, x, quant=True)
+            s = jnp.sum(y.astype(jnp.float32)) * jnp.float32(1e-9)
+            x = x + s * jnp.float32(1e-30)
+            return (x, acc + s), None
+        (_, acc), _ = jax.lax.scan(body, (x, jnp.float32(0)), None, length=n)
+        return acc
+
+    return lambda n: repeat(x0, n)
+
+
+def run_prefix_mode(graph, cfg, b, rng):
+    """Marginal (fused-context) cost per layer from prefix deltas."""
+    h, w = cfg.IMAGE_SHAPE[:2]
+    x_img = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+
+    def part_rows(layers, x0, part):
+        prev = 0.0
+        # append a terminal f32 cast "layer" cost? not needed: run_layers on
+        # a prefix ends at that layer's f32 output (out_scale=None for the
+        # last), slightly different from mid-chain int8 output — noted in
+        # the row as 'prefix semantics'
+        for i in range(1, len(layers) + 1):
+            t = _adaptive_time(lambda: chain_prefix(layers[:i], x0),
+                               t_guess=max(prev, 5.0) * 1e-6 * b * 1.2)
+            us = t / b * 1e6
+            print(json.dumps({"prefix": f"{part}:{layers[i-1].name}",
+                              "cum_us_per_img": round(us, 2),
+                              "marginal_us_per_img":
+                                  round(us - prev, 2)}), flush=True)
+            prev = us
+
+    part_rows(graph["trunk"], x_img, "trunk")
+    # neck and yolo both consume C4; feed a realistic C4-shaped f32 input
+    c4_hw = (math.ceil(h / 8), math.ceil(w / 8))
+    c4 = jnp.asarray(rng.rand(b, *c4_hw, 512).astype(np.float32) * 6.0)
+    part_rows(graph["neck"], c4, "neck")
+    part_rows(graph["yolo"], c4, "yolo")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
@@ -149,6 +198,9 @@ def main():
                     help="comma-separated layer-name filter (default: all)")
     ap.add_argument("--skip-gemm", action="store_true")
     ap.add_argument("--skip-whole", action="store_true")
+    ap.add_argument("--prefix", action="store_true",
+                    help="marginal in-context costs from prefix deltas "
+                         "instead of isolated layers")
     args = ap.parse_args()
 
     from mask_yolo_tpu import quant
@@ -169,6 +221,10 @@ def main():
     det = quant.QuantizedDetector.from_variables(jax.device_get(variables),
                                                  cfg, calib)
     graph = det.graph
+
+    if args.prefix:
+        run_prefix_mode(graph, cfg, args.batch, np.random.RandomState(0))
+        return
 
     b = args.batch
     h, w = cfg.IMAGE_SHAPE[:2]
