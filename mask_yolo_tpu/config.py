@@ -161,17 +161,23 @@ class Config:
     # int8 detect path: fold the per-ROI class selection into the final
     # mask conv (gather each ROI's 256→1 filter by class id) instead of
     # computing all NUM_CLASSES masks and one-hot-selecting afterwards.
-    # Same products, same accumulation length — but the class conv writes
-    # (and the select einsum re-reads) NUM_CLASSES× less: the r4 416² stage
-    # profile priced the select stage at 40 µs/img of pure HBM traffic.
-    QUANT_FOLD_MASK_SELECT = True
+    # MEASURED NEGATIVE (r4, default OFF): although the class conv writes
+    # NUM_CLASSES× less, the per-ROI weight gather turns one big MXU GEMM
+    # ([K·p², 256]×[256, 81]) into per-sample matvecs with zero filter
+    # reuse — 3,253 → 2,620 img/s at 416²/batch 128 (−20% e2e, interleaved
+    # A/B in docs/PERFORMANCE.md). Kept as a tested, selectable knob: the
+    # arithmetic is bit-compatible and the tradeoff flips if NUM_CLASSES
+    # grows far past the MXU tile width.
+    QUANT_FOLD_MASK_SELECT = False
 
     # int8 detect path: ROIAlign crop at default (bf16) MXU precision
-    # instead of HIGHEST. HIGHEST on bf16 crops forces multi-pass f32
-    # arithmetic + f32 intermediates (~2× the crop stage's traffic, r4
-    # profile); the crop feeds quantized convs, so the extra bits are
-    # discarded one layer later anyway. f32/calibration paths keep HIGHEST.
-    QUANT_FAST_CROP = True
+    # instead of HIGHEST. MEASURED NEUTRAL (r4, default OFF): e2e 416²
+    # detect is identical within noise with it on (3,252.9 vs 3,252.5
+    # img/s, interleaved A/B) — the crop einsums' K = H or W contractions
+    # are small enough that XLA's HIGHEST lowering costs nothing here, so
+    # the default keeps f32 accumulation (bit-parity with the reference
+    # crop). The knob stays for operating points with bigger feature maps.
+    QUANT_FAST_CROP = False
 
     # QAT (QuantizedDetector.finetune) distillation objective: weight on
     # the mask-probability term relative to the grid/fmap terms. The r3

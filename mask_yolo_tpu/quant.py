@@ -968,7 +968,7 @@ class QuantizedDetector:
                              image_hw=tuple(self.config.IMAGE_SHAPE[:2]),
                              classes=classes,
                              fast_crop=bool(getattr(self.config,
-                                                    "QUANT_FAST_CROP", True)))
+                                                    "QUANT_FAST_CROP", False)))
 
     def detect_outputs(self, images, use_pallas: bool | None = None,
                        interpret: bool = False, mesh=None):
@@ -1051,7 +1051,7 @@ class QuantizedDetector:
                         fmap, rois, classes, weights,
                         pool=config.MASK_POOL_SIZE,
                         num_classes=config.NUM_CLASSES, interpret=interpret)
-            elif (getattr(config, "QUANT_FOLD_MASK_SELECT", True)
+            elif (getattr(config, "QUANT_FOLD_MASK_SELECT", False)
                   and self.graph["mask"][-1].kind == "out_d2s"):
                 # fold the per-ROI class selection into the class conv —
                 # kills the one-hot select stage's HBM round trip (r4)

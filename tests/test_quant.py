@@ -569,10 +569,13 @@ def test_fold_mask_select_detect_parity(setup):
     pasted masks."""
     cfg, net, variables, images = setup
 
+    class OnCfg(type(cfg)):
+        QUANT_FOLD_MASK_SELECT = True
+
     class OffCfg(type(cfg)):
         QUANT_FOLD_MASK_SELECT = False
 
-    det_on = quant.QuantizedDetector.from_variables(variables, cfg,
+    det_on = quant.QuantizedDetector.from_variables(variables, OnCfg(),
                                                     np.asarray(images))
     det_off = quant.QuantizedDetector.from_variables(variables, OffCfg(),
                                                      np.asarray(images))
@@ -590,10 +593,13 @@ def test_fast_crop_detect_close_to_highest(setup):
     identical (crop is mask-branch-only), masks near-identical."""
     cfg, net, variables, images = setup
 
+    class FastCfg(type(cfg)):
+        QUANT_FAST_CROP = True
+
     class SlowCfg(type(cfg)):
         QUANT_FAST_CROP = False
 
-    det_fast = quant.QuantizedDetector.from_variables(variables, cfg,
+    det_fast = quant.QuantizedDetector.from_variables(variables, FastCfg(),
                                                       np.asarray(images))
     det_slow = quant.QuantizedDetector.from_variables(variables, SlowCfg(),
                                                       np.asarray(images))

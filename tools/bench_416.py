@@ -36,6 +36,13 @@ def make_repeat(det, fused_ds: bool, fused_mask_kernel):
     from mask_yolo_tpu import pipelines
 
     cfg = det.config
+    if (fused_mask_kernel is None
+            and getattr(cfg, "QUANT_FOLD_MASK_SELECT", True)
+            and det.graph["mask"][-1].kind == "out_d2s"):
+        # mirror QuantizedDetector.detect_fn: the shipped int8 pipeline
+        # folds the per-ROI class selection into the class conv
+        def fused_mask_kernel(rois, fmap, classes):
+            return det.mask_branch(rois, fmap, classes=classes)
 
     def trunk(images):
         return det.trunk(images, fused_ds=fused_ds)
@@ -87,6 +94,10 @@ def main():
                     choices=["mobilenet", "resnet50_fpn"],
                     help="override CocoStyleConfig.BACKBONE (resnet50_fpn = "
                          "hybrid int8: int8 trunk convs, f32 FPN lateral sums)")
+    ap.add_argument("--set", nargs="*", default=[], metavar="KEY=VAL",
+                    help="Config attribute overrides, VAL a Python literal "
+                         "(e.g. --set QUANT_FAST_CROP=False) — the A/B knob "
+                         "for pricing individual quant-path optimizations")
     args = ap.parse_args()
 
     from mask_yolo_tpu.config import CocoStyleConfig
@@ -96,6 +107,12 @@ def main():
     cfg = CocoStyleConfig()
     if args.backbone:
         cfg.BACKBONE = args.backbone
+    import ast
+    overrides = {}
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        overrides[k] = ast.literal_eval(v)
+        setattr(cfg, k, overrides[k])
     net = MaskYoloNet(num_classes=cfg.NUM_CLASSES, n_box=cfg.N_BOX,
                       top_feature_map_depth=cfg.TOP_FEATURE_MAP_DEPTH,
                       mask_pool_size=cfg.MASK_POOL_SIZE, backbone=cfg.BACKBONE,
@@ -158,7 +175,8 @@ def main():
                 ips = bench(call, cfg, args.batch)
                 print(json.dumps({"path": path, "img_per_s": round(ips, 1),
                                   "batch": args.batch,
-                                  "backbone": cfg.BACKBONE}), flush=True)
+                                  "backbone": cfg.BACKBONE,
+                                  **overrides}), flush=True)
             except Exception as e:
                 print(json.dumps({"path": path,
                                   "error": f"{type(e).__name__}: {e}"}),
@@ -181,7 +199,8 @@ def main():
             ips = bench(call, cfg, args.batch)
             print(json.dumps({"path": path, "img_per_s": round(ips, 1),
                               "batch": args.batch,
-                              "backbone": cfg.BACKBONE}), flush=True)
+                              "backbone": cfg.BACKBONE,
+                              **overrides}), flush=True)
         except Exception as e:
             print(json.dumps({"path": path,
                               "error": f"{type(e).__name__}: {e}"}),
