@@ -179,6 +179,15 @@ class Config:
     # crop). The knob stays for operating points with bigger feature maps.
     QUANT_FAST_CROP = False
 
+    # int8 detect path: fused-VMEM Pallas ROI crop (ops/pallas_crop.py)
+    # instead of XLA's two chained einsums, whose [B, K, ph, W, C]
+    # intermediate round-trips HBM (~24 MB/img at 416², ~60% of the crop
+    # stage's 56 µs). MEASURED NEGATIVE (r4, default OFF): 2,523 vs 3,299
+    # img/s e2e at 416²/batch 128 — the kernel's per-ROI lane relayout
+    # (transpose between the y- and x-contractions) costs Mosaic more than
+    # the saved HBM traffic (see pallas_crop.py's verdict docstring).
+    QUANT_PALLAS_CROP = False
+
     # QAT (QuantizedDetector.finetune) distillation objective: weight on
     # the mask-probability term relative to the grid/fmap terms. The r3
     # 81-class int8 residual lives in the mask branch; >1 biases the

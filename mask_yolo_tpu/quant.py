@@ -458,7 +458,7 @@ def _trunk_outputs(graph, images, quant: bool, collect=None,
 def _mask_outputs(graph, rois, fmap, pool_size: int, num_classes: int,
                   quant: bool, collect=None, image_hw=(224, 224),
                   calib_pct: float = 100.0, classes=None,
-                  fast_crop: bool = False):
+                  fast_crop: bool = False, pallas_crop: bool = False):
     """classes: optional [B, R] int32 — fold the per-ROI class selection
     INTO the final 1×1 mask conv (gather each ROI's 256→1 filter column)
     and return already-selected [B, R, 2p, 2p] masks instead of the full
@@ -482,6 +482,11 @@ def _mask_outputs(graph, rois, fmap, pool_size: int, num_classes: int,
                                        (pool_size, pool_size),
                                        image_hw=tuple(image_hw),
                                        canonical_level=1).astype(dt)
+    elif pallas_crop and quant and collect is None:
+        # fused-VMEM crop (ops/pallas_crop.py) — Config.QUANT_PALLAS_CROP
+        from .ops.pallas_crop import crop_rois
+
+        x = crop_rois(fmap, rois, pool=pool_size)
     else:
         x = crop_and_resize(fmap, rois, (pool_size, pool_size), dtype=dt,
                             precision=prec)
@@ -968,7 +973,10 @@ class QuantizedDetector:
                              image_hw=tuple(self.config.IMAGE_SHAPE[:2]),
                              classes=classes,
                              fast_crop=bool(getattr(self.config,
-                                                    "QUANT_FAST_CROP", False)))
+                                                    "QUANT_FAST_CROP", False)),
+                             pallas_crop=bool(getattr(self.config,
+                                                      "QUANT_PALLAS_CROP",
+                                                      False)))
 
     def detect_outputs(self, images, use_pallas: bool | None = None,
                        interpret: bool = False, mesh=None):
