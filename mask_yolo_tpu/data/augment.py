@@ -245,12 +245,16 @@ class ImgaugAdapter(Augmenter):
         image_shape, mask_shape = image.shape, mask.shape
         image = det.augment_image(image)
         hooks = None
-        try:
-            import imgaug
+        # drive the mask-safety whitelist only for REAL imgaug augmenters:
+        # gating on "import imgaug succeeds" would pass hooks= to a
+        # duck-typed augmenter whose augment_image takes no such kwarg
+        if type(det).__module__.split(".")[0] == "imgaug":
+            try:
+                import imgaug
 
-            hooks = imgaug.HooksImages(activator=self._activator)
-        except ImportError:
-            pass  # duck-typed augmenter: no whitelist machinery to drive
+                hooks = imgaug.HooksImages(activator=self._activator)
+            except ImportError:
+                pass
         mask_u8 = mask.astype(np.uint8)
         mask = (det.augment_image(mask_u8, hooks=hooks) if hooks is not None
                 else det.augment_image(mask_u8))

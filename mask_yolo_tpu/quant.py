@@ -366,7 +366,7 @@ def run_layers(layers, x, quant: bool, collect=None, fused_ds: bool = False,
     output to int8 at this scale instead of returning f32 (XLA fuses the
     round/clip/cast into the last conv's epilogue)."""
     if not quant:
-        assert x_scale is None
+        assert x_scale is None and out_scale is None
         for layer in layers:
             x = run_layer_f32(layer, x, collect, calib_pct)
         return x
@@ -408,6 +408,12 @@ def run_layers(layers, x, quant: bool, collect=None, fused_ds: bool = False,
     if out_scale is not None:
         if scale is None:
             x = _quantize_act(x, out_scale)
+        else:
+            # a segment that already ended int8 must have ended at the
+            # requested scale — returning int8 at a different chained scale
+            # would be silently dequantized wrong by the caller
+            assert np.array_equal(np.asarray(scale), np.asarray(out_scale)), \
+                "run_layers ended int8 at a scale != out_scale"
         return x
     assert scale is None  # segments end in an f32 (linear/sigmoid) layer
     return x
@@ -1007,13 +1013,17 @@ class QuantizedDetector:
                 # collectives by construction; GSPMD's TopK partitioner
                 # would otherwise all-gather the batch at the score top-K
                 # (same fix as parallel/inference.ShardedDetector)
-                if self._detect_sharded is None:
+                # cache is (mesh, fn): a shard_map is bound to the mesh it
+                # was built over — reusing it for a different mesh would
+                # misplace shards (model.detect_batch guards the same way)
+                if (self._detect_sharded is None
+                        or self._detect_sharded[0] is not mesh):
                     from jax.sharding import PartitionSpec as P
 
-                    self._detect_sharded = jax.jit(jax.shard_map(
+                    self._detect_sharded = (mesh, jax.jit(jax.shard_map(
                         detect_fn, mesh=mesh,
-                        in_specs=P("data"), out_specs=P("data")))
-                return self._detect_sharded(images)
+                        in_specs=P("data"), out_specs=P("data"))))
+                return self._detect_sharded[1](images)
         return detect_fn(images)
 
     def infer_yolo_outputs(self, images):

@@ -221,6 +221,37 @@ def test_imgaug_adapter_duck_types(rng):
     assert out_mask.dtype == bool
 
 
+def test_imgaug_adapter_duck_type_with_imgaug_importable(rng):
+    """Regression: hooks= must be gated on the AUGMENTER being a real
+    imgaug object, not on `import imgaug` succeeding — a duck-typed
+    augmenter whose augment_image takes no hooks kwarg must still work
+    when an imgaug module is importable."""
+    import sys
+
+    import mask_yolo_tpu.data.augment as aug_mod
+
+    class _NoHooksAug:
+        def augment_image(self, image):  # NO hooks kwarg
+            return image[:, ::-1]
+
+    class _FakeImgaugModule:
+        class HooksImages:  # would be passed as hooks= if the gate is wrong
+            def __init__(self, activator=None):
+                self.activator = activator
+
+    sys.modules["imgaug"] = _FakeImgaugModule()
+    try:
+        adapter = aug_mod.ImgaugAdapter(_NoHooksAug())
+        image = (rng.rand(8, 12, 3) * 255).astype(np.uint8)
+        mask = np.zeros((8, 12, 1), dtype=bool)
+        mask[2:5, 3:7, 0] = True
+        out_img, out_mask = adapter(image, mask)
+        np.testing.assert_array_equal(out_img, np.fliplr(image))
+        np.testing.assert_array_equal(out_mask, np.fliplr(mask))
+    finally:
+        del sys.modules["imgaug"]
+
+
 def test_imgaug_adapter_rejects_shape_changes():
     from mask_yolo_tpu.data.augment import ImgaugAdapter
 

@@ -37,10 +37,10 @@ def make_repeat(det, fused_ds: bool, fused_mask_kernel):
 
     cfg = det.config
     if (fused_mask_kernel is None
-            and getattr(cfg, "QUANT_FOLD_MASK_SELECT", True)
+            and getattr(cfg, "QUANT_FOLD_MASK_SELECT", False)
             and det.graph["mask"][-1].kind == "out_d2s"):
-        # mirror QuantizedDetector.detect_fn: the shipped int8 pipeline
-        # folds the per-ROI class selection into the class conv
+        # mirror QuantizedDetector.detect_fn's wiring (same getattr default
+        # as quant.py — the fold is a measured-NEGATIVE knob, default off)
         def fused_mask_kernel(rois, fmap, classes):
             return det.mask_branch(rois, fmap, classes=classes)
 

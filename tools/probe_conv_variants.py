@@ -49,6 +49,8 @@ def _delta(call, n1, n2, reps=5):
         d = (t2 - t1) - (t1 - t0)
         if d > 0:
             ds.append(d / (n2 - n1))
+    if not ds:
+        raise RuntimeError("non-positive deltas")  # else NaN poisons the JSON
     return float(np.median(ds))
 
 

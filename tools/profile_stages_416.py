@@ -51,6 +51,8 @@ def bench(call, images, n1=4, n2=16, reps=5):
         d = (t2 - t1) - (t1 - t0)
         if d > 0:
             ds.append(d / (n2 - n1))
+    if not ds:
+        raise RuntimeError("non-positive deltas")  # else NaN poisons the JSON
     return float(np.median(ds))
 
 

@@ -34,17 +34,33 @@ def _make_coco_copy(out_dir, count, seed, num_classes, textured=False):
     from mask_yolo_tpu.data.dense_shapes import DenseShapesDataset
 
     ann = os.path.join(out_dir, "instances.json")
+    sidecar = os.path.join(out_dir, "materialize_meta.json")
+    want = {"count": count, "seed": seed, "num_classes": num_classes,
+            "textured": bool(textured)}
     reuse = False
     if os.path.exists(ann):
         with open(ann) as f:
             meta = _json.load(f)
         reuse = len(meta.get("images", [])) == count
+        # the image count alone can't distinguish a flat materialization
+        # from a textured one (or a different seed) at the same path — the
+        # sidecar records the generation parameters and must match exactly
+        if reuse and os.path.exists(sidecar):
+            with open(sidecar) as f:
+                reuse = _json.load(f) == want
+        elif reuse:
+            print(f"[warn] {out_dir}: no materialize_meta.json sidecar; "
+                  "regenerating to guarantee the requested parameters",
+                  flush=True)
+            reuse = False
     if not reuse:
         src = DenseShapesDataset()
         src.load_dense(count, 416, 416, seed=seed, num_classes=num_classes,
                        textured=textured)
         src.prepare()
         ann = dataset_to_coco_json(src, out_dir)
+        with open(sidecar, "w") as f:
+            _json.dump(want, f)
     d = CocoDataset()
     d.load_coco(ann, os.path.join(out_dir, "images"))
     d.prepare()
