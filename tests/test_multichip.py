@@ -386,7 +386,9 @@ def test_hlo_dp_int8_detect_has_zero_collectives(tiny_setup, rng):
     out = det.detect_outputs(images, mesh=mesh)  # builds the sharded fn
     assert np.asarray(out["boxes"]).shape[0] == 8
     sharded_images = jax.device_put(images, batch_sharding(mesh))
-    txt = det._detect_sharded.lower(sharded_images).compile().as_text()
+    # _detect_sharded caches (mesh, fn) — unwrap the jitted fn for lowering
+    assert det._detect_sharded[0] is mesh
+    txt = det._detect_sharded[1].lower(sharded_images).compile().as_text()
     bad = _collective_lines(txt)
     assert not bad, f"int8 DP detect compiled with collectives: {bad[:5]}"
 
