@@ -136,6 +136,14 @@ class Config:
     # Set on large-grid configs where grid_boxes ≫ plausible detections.
     INFER_YOLO_TOP_N = 0
 
+    # infer_yolo: compact each class's above-threshold boxes to its own top-K
+    # slots BEFORE the greedy suppression chain (output-identical while every
+    # class has ≤ K boxes over OBJ_THRESHOLD — per class, not per image, so a
+    # far tighter bound than INFER_YOLO_TOP_N's shared pool). Cuts the
+    # sequential chain from N steps to K and the IoU slab by (N/K)²; takes
+    # precedence over INFER_YOLO_TOP_N when both are set. 0 = off.
+    INFER_YOLO_PER_CLASS_K = 0
+
     # Keep only the newest N per-epoch checkpoints (0 = keep all, the
     # reference's ModelCheckpoint behavior — model.py:1026)
     MAX_CHECKPOINTS = 5
@@ -315,6 +323,7 @@ class Config:
             int(getattr(self, "MASK_TOP_K", 0) or 0),
             int(getattr(self, "MASK_TRAIN_TOP_ROIS", 0) or 0),
             int(getattr(self, "INFER_YOLO_TOP_N", 0) or 0),
+            int(getattr(self, "INFER_YOLO_PER_CLASS_K", 0) or 0),
         )
 
     def display(self):

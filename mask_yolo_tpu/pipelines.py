@@ -28,7 +28,7 @@ from .losses import mask_loss as mask_loss_fn
 from .losses import yolo_loss as yolo_loss_fn
 from .ops.boxes import decode_detections, decode_yolo_proposals, norm_boxes
 from .ops.nms import (class_aware_nms, index_order_class_nms_mask,
-                      reference_softmax)
+                      per_class_topk_nms, reference_softmax)
 from .ops.roi_align import paste_masks
 from .ops.target_assign import assign_mask_targets
 
@@ -222,6 +222,14 @@ def infer_yolo_from_callables(trunk, images, config):
     # to one ≤512-box unrolled pass (the 416² infer_yolo cost driver,
     # docs/PERFORMANCE.md). 0 = off (full-grid NMS).
     n_top = int(getattr(config, "INFER_YOLO_TOP_N", 0) or 0)
+    # INFER_YOLO_PER_CLASS_K: compact each class's boxes to its own top-K
+    # BEFORE the greedy chain. The per-class suppression of class c only ever
+    # involves boxes with prob_c > 0 (threshold already applied), so while
+    # each class has ≤ K above-threshold boxes — a per-CLASS bound, far
+    # tighter than TOP_N's shared pool — the kept set is identical. The
+    # sequential chain shrinks N→K steps and the IoU slab (N/K)²×
+    # (config.py INFER_YOLO_PER_CLASS_K; measured in docs/PERFORMANCE.md).
+    k_cls = int(getattr(config, "INFER_YOLO_PER_CLASS_K", 0) or 0)
 
     def per_image(g, bx, cf):
         # conf-weighted class probabilities, thresholded
@@ -229,7 +237,9 @@ def infer_yolo_from_callables(trunk, images, config):
         probs = cf[..., None] * reference_softmax(g[..., 5:])
         probs = probs * (probs > config.OBJ_THRESHOLD)
         probs = probs.reshape(-1, config.NUM_CLASSES)
-        if n_top and n_top < probs.shape[0]:
+        if k_cls and k_cls < probs.shape[0]:
+            probs = per_class_topk_nms(bx, probs, k_cls, config.NMS_THRESHOLD)
+        elif n_top and n_top < probs.shape[0]:
             _, idx = jax.lax.top_k(jnp.max(probs, axis=-1), n_top)
             kept = class_aware_nms(bx[idx], probs[idx], config.NMS_THRESHOLD)
             probs = jnp.zeros_like(probs).at[idx].set(kept)

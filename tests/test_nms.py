@@ -6,7 +6,8 @@ import numpy as np
 
 from mask_yolo_tpu.ops.nms import (class_aware_nms, greedy_nms_mask,
                                    index_order_class_nms_mask,
-                                   reference_softmax, top_k_detections)
+                                   per_class_topk_nms, reference_softmax,
+                                   top_k_detections)
 from mask_yolo_tpu.utils.host_ops import NMB, _softmax, bbox_iou_xyxy
 
 
@@ -62,6 +63,50 @@ def test_class_aware_nms_large_n(rng):
     for c in range(3):
         keep = numpy_greedy_nms(boxes, class_scores[:, c], 0.4)
         np.testing.assert_allclose(out[:, c], class_scores[:, c] * keep)
+
+
+def test_per_class_topk_nms_exact_when_under_k(rng):
+    """per_class_topk_nms == class_aware_nms whenever every class has <= k
+    positive-score boxes (the documented exactness condition), on a dense
+    845-box fixture shaped like the 416² infer_yolo grid."""
+    boxes, _ = random_boxes_scores(rng, 845)
+    # exactly 25 positive boxes per class (<= k=32 by construction; the rng
+    # fixture is session-scoped so chance-based sparsity is order-dependent)
+    class_scores = np.zeros((845, 5), dtype=np.float32)
+    for c in range(5):
+        pos = rng.choice(845, 25, replace=False)
+        class_scores[pos, c] = rng.rand(25).astype(np.float32) * 0.9 + 0.1
+    exact = np.asarray(class_aware_nms(jnp.asarray(boxes),
+                                       jnp.asarray(class_scores), 0.4))
+    fast = np.asarray(per_class_topk_nms(jnp.asarray(boxes),
+                                         jnp.asarray(class_scores), 32, 0.4))
+    np.testing.assert_allclose(fast, exact, atol=1e-7)
+
+
+def test_per_class_topk_nms_k_ge_n_falls_back(rng):
+    boxes, _ = random_boxes_scores(rng, 16)
+    class_scores = rng.rand(16, 3).astype(np.float32)
+    exact = np.asarray(class_aware_nms(jnp.asarray(boxes),
+                                       jnp.asarray(class_scores), 0.4))
+    fast = np.asarray(per_class_topk_nms(jnp.asarray(boxes),
+                                         jnp.asarray(class_scores), 64, 0.4))
+    np.testing.assert_allclose(fast, exact, atol=1e-7)
+
+
+def test_per_class_topk_nms_over_k_drops_lowest(rng):
+    """When a class has MORE than k positive boxes, the compaction drops the
+    lowest-scored ones before suppression — kept boxes are always a subset of
+    the class's top-k, and every kept score matches the input."""
+    boxes, _ = random_boxes_scores(rng, 64)
+    class_scores = rng.rand(64, 2).astype(np.float32)  # all 64 positive
+    k = 8
+    out = np.asarray(per_class_topk_nms(jnp.asarray(boxes),
+                                        jnp.asarray(class_scores), k, 0.4))
+    for c in range(2):
+        kept = np.where(out[:, c] > 0)[0]
+        topk = np.argsort(-class_scores[:, c], kind="stable")[:k]
+        assert set(kept) <= set(topk.tolist())
+        np.testing.assert_allclose(out[kept, c], class_scores[kept, c])
 
 
 def test_greedy_nms_zero_scores_never_suppress(rng):

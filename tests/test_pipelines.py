@@ -378,6 +378,58 @@ def test_infer_yolo_top_n_equivalence(rng):
     np.testing.assert_array_equal(topn["classes"][keep], full["classes"][keep])
 
 
+def test_infer_yolo_per_class_k_equivalence(rng):
+    """INFER_YOLO_PER_CLASS_K compaction is output-identical to the exact
+    full-grid per-class NMS while every class has <= K boxes above
+    OBJ_THRESHOLD (the documented per-class condition; a tighter bound than
+    INFER_YOLO_TOP_N's shared pool, so it activates at much smaller K)."""
+    import jax
+    import jax.numpy as jnp
+
+    from conftest import TinyConfig
+    from mask_yolo_tpu.models.network import MaskYoloNet
+    from mask_yolo_tpu.pipelines import infer_yolo_outputs
+
+    class BigGrid(TinyConfig):
+        NUM_CLASSES = 4
+        LABELS = ["background", "a", "b", "c"]
+        IMAGE_SHAPE = [128, 128, 3]
+        IMAGE_MIN_DIM = 128
+        IMAGE_MAX_DIM = 128
+        GRID_H, GRID_W = 4, 4
+        N_BOX = 2
+        ANCHORS = [0.6, 0.7, 1.2, 1.1]
+        TRAIN_ROIS_PER_IMAGE = 4 * 4 * 2
+        INFER_YOLO_TOP_N = 0
+        INFER_YOLO_PER_CLASS_K = 0
+
+    class BigGridPerClass(BigGrid):
+        INFER_YOLO_PER_CLASS_K = 6   # < 32 grid boxes -> compaction active
+        INFER_YOLO_TOP_N = 8         # must be ignored (per-class wins)
+
+    cfg_full, cfg_pck = BigGrid(), BigGridPerClass()
+    net = MaskYoloNet(num_classes=cfg_full.NUM_CLASSES, n_box=cfg_full.N_BOX,
+                      top_feature_map_depth=cfg_full.TOP_FEATURE_MAP_DEPTH,
+                      mask_pool_size=cfg_full.MASK_POOL_SIZE,
+                      backbone=cfg_full.BACKBONE)
+    variables = net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 128, 128, 3), jnp.float32),
+                         jnp.zeros((1, 4, 4), jnp.float32), train=False)
+    images = jnp.asarray(rng.rand(2, 128, 128, 3).astype(np.float32))
+    full = {k: np.asarray(v) for k, v in
+            infer_yolo_outputs(net, variables, images, cfg_full).items()}
+    # untrained net: few boxes pass 0.35 threshold -> the per-class <=K
+    # condition holds; assert it, then compare outputs exactly
+    active = (full["scores"] > 0).sum(axis=1)
+    assert (active <= 6).all(), f"fixture violates <=K condition: {active}"
+    pck = {k: np.asarray(v) for k, v in
+           infer_yolo_outputs(net, variables, images, cfg_pck).items()}
+    np.testing.assert_allclose(pck["scores"], full["scores"], atol=1e-7)
+    np.testing.assert_array_equal(pck["valid"], full["valid"])
+    keep = full["valid"]
+    np.testing.assert_array_equal(pck["classes"][keep], full["classes"][keep])
+
+
 def test_boundbox_reference_surface():
     """BoundBox (VERDICT r3 'missing' #3): reference-compatible box object
     (myolo_utils.py:161-185) — attribute access, get_label()/get_score(),
