@@ -629,3 +629,26 @@ def test_mask_f32_layers_knob(setup):
                                                  np.asarray(images))
     out = jax.device_get(det.detect_outputs(images))
     assert out["masks"].dtype == bool
+
+
+def test_qat_mask_weight_reaches_objective(setup):
+    """QUANT_QAT_MASK_WEIGHT scales the mask term of the QAT distillation
+    objective (quant.py finetune loss_fn) — the eval_int8.py `pc_qat_mw`
+    variant depends on this plumbing. At random init the mask teacher is
+    sigmoid-pinned near 0.5 (std ~2e-5), so the mask nmse is ~1e-11 and an
+    equal-weight A/B can't see it; a 1e6 weight lifts it ~1e-5 above the
+    trunk terms (~5e-3), far beyond float32 summation noise (~3e-10)."""
+    cfg, net, variables, images = setup
+
+    def initial_loss(mw):
+        class MwCfg(type(cfg)):
+            QUANT_QAT_MASK_WEIGHT = mw
+
+        det = quant.QuantizedDetector.from_variables(variables, MwCfg(),
+                                                     np.asarray(images))
+        return det.finetune(np.asarray(images), steps=1,
+                            lr=1e-12)["loss_initial"]
+
+    l1, l1m = initial_loss(1.0), initial_loss(1e6)
+    assert l1 > 0
+    assert l1m - l1 > 1e-7, (l1, l1m)
