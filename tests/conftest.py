@@ -53,6 +53,12 @@ def tiny_config():
     return TinyConfig()
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture(scope="module")
 def rng():
+    # Module-scoped on purpose: a session-scoped stream couples every
+    # downstream test's random inputs to suite ORDER — adding a test in one
+    # file re-rolls the draws for every file after it, tripping
+    # tolerance-marginal parity tests (observed r5: test_pallas_ds /
+    # test_quant failed in-suite, passed in isolation). A fresh stream per
+    # module keeps inputs deterministic and order-independent across files.
     return np.random.RandomState(42)

@@ -269,7 +269,10 @@ def test_predict_cli_end_to_end(tmp_path):
          "--config-json", str(tmp_path / "ckpt" / "config.json"),
          "--images", str(img_dir), "--out", str(out_json),
          "--batch-size", "2", "--score-threshold", "0.0"],
-        capture_output=True, text=True, env=env, cwd=repo, timeout=900)
+        # 43 s uncontended; this runner has ONE host core, so a concurrent
+        # training run + suite worker can stretch the subprocess's jit
+        # compiles past 900 s (observed r5) — budget for the worst case
+        capture_output=True, text=True, env=env, cwd=repo, timeout=2400)
     assert proc.returncode == 0, proc.stderr[-2000:]
     results = json.loads(out_json.read_text())
     assert isinstance(results, list)
