@@ -92,6 +92,15 @@ class Config:
     # proposals, and the branch cost is linear in M. 0 = all
     # TRAIN_ROIS_PER_IMAGE slots (the reference's behavior, model.py:876-882).
     MASK_TRAIN_TOP_ROIS = 0
+    # Run training as S-step scan superbatches: ONE host→device upload and
+    # ONE dispatch per S optimizer steps (lax.scan of the identical step
+    # body — update-sequence-equal to S single dispatches,
+    # tests/test_train.py). A wall-clock lever where per-dispatch latency
+    # dominates the step (remote/tunneled devices: 1.23 s/step wall vs
+    # ~60 ms device compute measured on this runner, docs/PERFORMANCE.md
+    # "Training"); neutral on local-HBM hardware. 0/1 = one dispatch per
+    # step (the default).
+    TRAIN_SCAN_STEPS = 0
 
     # Optimization (reference: config.py:200-230)
     LEARNING_RATE = 0.001

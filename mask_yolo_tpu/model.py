@@ -170,6 +170,12 @@ class MaskYOLO:
         self._train_step = trainer_lib.make_train_step(
             self.net, self.config, self._tx,
             mode="training" if self.mode == "training" else "yolo")
+        scan_s = int(getattr(self.config, "TRAIN_SCAN_STEPS", 0) or 0)
+        self._scan_train_step = (
+            trainer_lib.make_scan_train_step(
+                self.net, self.config, self._tx,
+                mode="training" if self.mode == "training" else "yolo")
+            if scan_s > 1 else None)
 
     def set_trainable(self, layer_regex, **_):
         """Record the trainable-layer regex; applied at compile()."""
@@ -267,7 +273,10 @@ class MaskYOLO:
             state, metrics = trainer_lib.run_epoch(
                 self._train_step, state, train_gen, mesh=mesh, verbose=verbose,
                 profile_dir=profile_dir if epoch == start_epoch else None,
-                max_steps=int(getattr(self.config, "STEPS_PER_EPOCH", 0) or 0))
+                max_steps=int(getattr(self.config, "STEPS_PER_EPOCH", 0) or 0),
+                scan_step=self._scan_train_step,
+                scan_steps=int(getattr(self.config, "TRAIN_SCAN_STEPS", 0)
+                               or 0))
             train_gen.on_epoch_end()
 
             # validation (reference: fit_generator validation_data), capped

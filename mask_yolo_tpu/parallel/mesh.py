@@ -54,6 +54,12 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def scan_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for stacked S-step superbatches ([S, B, ...], trainer
+    _ChunkedSource): the scan axis replicated, the batch axis sharded."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

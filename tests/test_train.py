@@ -392,3 +392,113 @@ def test_stop_after_epoch(tmp_path):
     state2 = m2.train(tr, va, learning_rate=1e-3, epochs=4, layers="all",
                       verbose=False, resume_from=str(ckpts[-1]))
     assert int(state2.step) == 4
+
+
+def test_scan_train_step_matches_per_step(setup):
+    """The scan superbatch path == the per-step path.
+
+    Two layers of evidence, because multi-step BITWISE equality across two
+    different XLA programs is unobtainable: the separately-compiled bodies
+    differ at ~1 ulp (measured 1.2e-7 after one SGD step) and the early
+    YOLO loss is sharp enough to amplify that chaotically (measured loss
+    deltas 0 → 8e-5 → 4e-3 → 0.23 over four steps). So:
+      (a) ONE scanned step vs ONE plain step — equal to FP noise (the
+          bodies compute the same update);
+      (b) scan(S=4) vs 4 × scan(S=1) — bit-exact (same compiled body), which
+          pins the sequencing: batch order, step counter, BN/opt threading.
+    """
+    cfg, net, variables, gen = setup
+    rng = np.random.default_rng(11)
+    base = gen[0]
+    batches = []
+    for _ in range(4):  # distinct images per step so the test isn't trivial
+        b = {k: np.asarray(v).copy() for k, v in base.items()}
+        b["image"] = rng.integers(0, 255, b["image"].shape).astype(
+            b["image"].dtype)
+        batches.append(b)
+    stacked = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+
+    tx = state_lib.make_optimizer(1e-3, cfg)
+    step = trainer_lib.make_train_step(net, cfg, tx, mode="training")
+    scan_step = trainer_lib.make_scan_train_step(net, cfg, tx, mode="training")
+
+    def init():
+        return state_lib.create_train_state(
+            fresh(variables["params"]),
+            fresh(variables.get("batch_stats", {})), tx)
+
+    # (a) one step: scanned body == plain body to FP noise. atol 1e-4 =
+    # 10% of the 1e-3 Adam update: raw-gradient noise is ~1 ulp (1.2e-7
+    # under SGD) but Adam's g/(|g|+eps) amplifies it on near-zero-gradient
+    # elements (measured: 1 element in 4096 at 3.6e-5)
+    s_plain, m_plain = step(init(), batches[0])
+    s_one, m_one = scan_step(init(), {k: v[:1] for k, v in stacked.items()})
+    assert int(s_one.step) == int(s_plain.step) == 1
+    np.testing.assert_allclose(float(m_one["loss"]), float(m_plain["loss"]),
+                               rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-4),
+        (s_plain.params, s_plain.batch_stats),
+        (s_one.params, s_one.batch_stats))
+
+    # (b) sequencing: one scan of 4 == four scans of 1, bit-exact
+    s_seq = init()
+    for i in range(4):
+        s_seq, m_seq = scan_step(s_seq, {k: v[i:i + 1]
+                                         for k, v in stacked.items()})
+    s_all, m_all = scan_step(init(), stacked)
+    assert int(s_all.step) == int(s_seq.step) == 4
+    assert float(m_all["loss"]) == float(m_seq["loss"])
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)),
+        (s_seq.params, s_seq.batch_stats, s_seq.opt_state),
+        (s_all.params, s_all.batch_stats, s_all.opt_state))
+
+
+def test_run_epoch_scan_with_remainder(setup):
+    """run_epoch(scan_steps=2) over 5 batches = 2 superbatches + 1 remainder
+    step, in order — bit-exact against the same compiled callables invoked
+    by hand."""
+    cfg, net, variables, gen = setup
+    rng = np.random.default_rng(13)
+    base = gen[0]
+    batches = []
+    for _ in range(5):
+        b = {k: np.asarray(v).copy() for k, v in base.items()}
+        b["image"] = rng.integers(0, 255, b["image"].shape).astype(
+            b["image"].dtype)
+        batches.append(b)
+
+    class _List:
+        def __init__(self, items):
+            self.items = items
+
+        def __len__(self):
+            return len(self.items)
+
+        def __getitem__(self, i):
+            return {k: v.copy() for k, v in self.items[i].items()}
+
+    tx = state_lib.make_optimizer(1e-3, cfg)
+    step = trainer_lib.make_train_step(net, cfg, tx, mode="training")
+    scan_step = trainer_lib.make_scan_train_step(net, cfg, tx, mode="training")
+
+    def init():
+        return state_lib.create_train_state(
+            fresh(variables["params"]),
+            fresh(variables.get("batch_stats", {})), tx)
+
+    s_ref = init()
+    for lo in (0, 2):
+        s_ref, _ = scan_step(s_ref, {k: np.stack([b[k] for b in
+                                                  batches[lo:lo + 2]])
+                                     for k in batches[0]})
+    s_ref, _ = step(s_ref, batches[4])
+
+    s_epoch = init()
+    s_epoch, _ = trainer_lib.run_epoch(step, s_epoch, _List(batches),
+                                       verbose=False, scan_step=scan_step,
+                                       scan_steps=2)
+    assert int(s_epoch.step) == int(s_ref.step) == 5
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), s_ref.params, s_epoch.params)

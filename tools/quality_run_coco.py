@@ -166,6 +166,10 @@ def main():
                     help="evaluate pooled AP on the eval set every N epochs "
                          "during training (make_ap_eval_callback); tracks "
                          "the best box_ap50 checkpoint")
+    ap.add_argument("--scan-steps", type=int, default=0,
+                    help="Config.TRAIN_SCAN_STEPS: train S optimizer steps "
+                         "per dispatch (one upload, one lax.scan program) — "
+                         "amortizes per-step RPC latency on tunneled devices")
     ap.add_argument("--segment-epochs", type=int, default=0,
                     help="run training as a chain of child processes of at "
                          "most N epochs each, resuming from the newest "
@@ -191,6 +195,7 @@ def main():
                   + [f"c{i:02d}" for i in range(1, args.num_classes + 1)])
         LR_SCHEDULE = args.lr_schedule
         LR_WARMUP_STEPS = args.lr_warmup_steps
+        TRAIN_SCAN_STEPS = args.scan_steps
 
     if args.mask_top_k is not None:
         RunConfig.MASK_TOP_K = args.mask_top_k
