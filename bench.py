@@ -157,6 +157,9 @@ def bench_detect(call, cfg, batch_size: int,
 def main():
     import argparse
 
+    from mask_yolo_tpu.utils.compile_cache import enable as _enable_cache
+    _enable_cache()
+
     from mask_yolo_tpu.quant import QuantizedDetector
 
     ap = argparse.ArgumentParser()

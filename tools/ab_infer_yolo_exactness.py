@@ -32,8 +32,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from mask_yolo_tpu.utils.compile_cache import enable as _enable_cache
+
 
 def main():
+    _enable_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--weights", required=True)
     ap.add_argument("--data", required=True,

@@ -86,6 +86,8 @@ def bench(call, cfg, batch_size, n1=2, n2=8, reps=3):
 
 
 def main():
+    from mask_yolo_tpu.utils.compile_cache import enable as _enable_cache
+    _enable_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--paths", default="int8,fused_ds,pallas_mask")

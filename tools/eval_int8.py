@@ -24,11 +24,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from mask_yolo_tpu.utils.compile_cache import enable as _enable_cache
+
 VARIANTS = ("f32", "pt", "pc", "pt_qat", "pc_qat", "pc_qat_mw",
             "pc_f32deconv", "pc_f32tail", "pc_qat_mw_f32deconv")
 
 
 def main():
+    _enable_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--weights", required=True,
                     help="checkpoint dir from MaskYOLO.save_weights")

@@ -61,6 +61,8 @@ def bench(call, images, n1=4, n2=16, reps=5):
 
 
 def main():
+    from mask_yolo_tpu.utils.compile_cache import enable as _enable_cache
+    _enable_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--top-n", type=int, default=None,

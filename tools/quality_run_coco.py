@@ -185,6 +185,9 @@ def main():
         run_segmented(args)
         return
 
+    from mask_yolo_tpu.utils.compile_cache import enable as _enable_cache
+    _enable_cache()
+
     from mask_yolo_tpu import MaskYOLO, evaluate_dataset
     from mask_yolo_tpu.config import CocoStyleConfig
 
