@@ -374,10 +374,14 @@ class CocoStyleConfig(Config):
     MAX_GT_INSTANCES = 50
     TRUE_BOX_BUFFER = 30
     DETECTION_MAX_INSTANCES = 100
-    # masks for the 32 best survivors (COCO images rarely carry more
-    # instances above threshold; output-identical when they don't) — the
-    # mask branch dominates this operating point and is linear in K
-    MASK_TOP_K = 32
+    # masks for the 48 best survivors (output-identical while ≤ 48 boxes
+    # survive NMS). Measured on the r5 textured 81-class campaign (64 dense
+    # eval images, up to 48 instances each — asset/coco80_masktopk_r5.json):
+    # K=32 costs −0.060 mask AP50 vs masking all 100 slots (0.682 vs 0.742);
+    # K=48 recovers it (0.741) at half the mask-branch cost of K=100. The
+    # branch is linear in K, so drop back to 32 only for sparse-scene
+    # deployments (the reference masks ALL boxes, model.py:926-931).
+    MASK_TOP_K = 48
     COMPUTE_DTYPE = "bfloat16"
     USE_MINI_MASK = True
     MASK_TRAIN_TOP_ROIS = 128
